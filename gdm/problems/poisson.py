@@ -1,0 +1,47 @@
+"""Uncut Poisson problem on the full hypercube (zero Dirichlet BC).
+
+Capability parity with reference tests/poisson_01_gdm.cc and
+tests/poisson_02_gdm.cc: assemble-free stiffness apply + CG.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import operators, solvers
+from ..constraints import Constraints
+from ..functional import load_vector
+from ..grid import Grid
+from ..ops.tensor import l2_error
+
+
+def solve(
+    grid: Grid,
+    rhs_fn,
+    rel_tol: float = 1e-12,
+    abs_tol: float = 1e-20,
+    max_iter: int = 10000,
+    precondition: bool = True,
+):
+    """Solve -Laplace(u) = f, u = 0 on the boundary.
+
+    Returns (solution field, info dict).
+    """
+    import jax
+
+    A = operators.laplace(grid)
+    cons = Constraints.zero_boundary(grid)
+    apply_fn = cons.constrain_operator(A.apply)
+    b = cons.constrain_rhs(load_vector(grid, rhs_fn))
+    diag = jnp.where(jnp.asarray(cons.full_mask), 1.0, jnp.asarray(A.diagonal()))
+
+    @jax.jit
+    def run(b, diag):
+        precond = solvers.jacobi_preconditioner(diag) if precondition else None
+        x, info = solvers.cg(
+            apply_fn, b, precond=precond, max_iter=max_iter, abs_tol=abs_tol,
+            rel_tol=rel_tol,
+        )
+        return cons.finalize_solution(x), info
+
+    return run(b, diag)
