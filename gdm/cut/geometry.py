@@ -1,0 +1,413 @@
+"""Cell classification and cut-cell quadrature generation.
+
+TPU-native replacement for deal.II's NonMatching::MeshClassifier and
+NonMatching::QuadratureGenerator (used throughout the reference's wave /
+advection applications and cut prototypes).  All geometry work happens
+host-side in numpy at setup time; the result is a set of padded arrays
+(quadrature points/weights/normals per intersected cell) consumed by the
+device-side operators.
+
+Algorithm (Saye-style dimension reduction on the per-cell *polynomial*
+level set, cf. R. Saye, "High-order quadrature methods for implicitly
+defined surfaces and volumes in hyperrectangles", SISC 2015):
+
+* pick a height axis along which d(psi)/dx_k is sign-definite on the box;
+* place Gauss points in the base directions; along each height line find
+  the roots of the 1D polynomial restriction; the sub-intervals between
+  roots are fully inside/outside and get scaled 1D Gauss rules; each root
+  contributes a surface point with co-area weight |grad psi|/|d_k psi|;
+* if no sign-definite axis exists, bisect the box and recurse.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+
+import numpy as np
+
+from .. import quadrature
+from ..grid import Grid
+from .levelset import LevelSetInterpolant
+
+INSIDE, INTERSECTED, OUTSIDE = -1, 0, 1
+
+_ROOT_TOL = 1e-11
+
+
+def _classify_values(vals: np.ndarray, tol: float = 1e-14) -> int:
+    mn, mx = vals.min(), vals.max()
+    if mn > -tol and mx > tol:
+        return OUTSIDE
+    if mx < tol and mn < -tol:
+        return INSIDE
+    if mn > -tol and mx < tol:
+        # identically ~zero; treat as intersected (degenerate)
+        return INTERSECTED
+    return INTERSECTED
+
+
+def classify_cells(ls: LevelSetInterpolant, n_samples: int = 21) -> np.ndarray:
+    """Per-cell location relative to the zero contour of the interpolant.
+
+    Equivalent of NonMatching::MeshClassifier::location_to_level_set.
+    Returns int8 array of shape grid.cells (INSIDE/-1, INTERSECTED/0,
+    OUTSIDE/+1), sampling the *polynomial* interpolant densely per cell.
+    """
+    grid = ls.grid
+    dim = grid.dim
+    s = np.linspace(0.0, 1.0, n_samples)
+    E = ls.eval_matrix(tuple(s), 0)  # (S, q)
+    # evaluate on all cells at once: contract each (cell, q) axis pair
+    v = ls.nodal
+    for d in range(dim):
+        # axis layout: (n_0, q, n_1, q, ...); after d contractions:
+        # (n_0, S, ..., n_d, q, ...)
+        v = np.moveaxis(np.tensordot(v, E, axes=(2 * d + 1, 1)), -1, 2 * d + 1)
+    out = np.empty(grid.cells, dtype=np.int8)
+    it = np.ndindex(*grid.cells)
+    for idx in it:
+        sl = []
+        for i in idx:
+            sl += [i, slice(None)]
+        out[idx] = _classify_values(v[tuple(sl)])
+    return out
+
+
+@dataclasses.dataclass
+class CellQuadrature:
+    """Cut quadrature of one intersected cell, in cell reference coords.
+
+    Weights: volume weights are reference-measure (sum == ref volume of the
+    region); surface weights are PHYSICAL measure; normals are physical
+    unit vectors pointing from {psi<0} to {psi>0}.
+    """
+
+    inside_pts: np.ndarray  # (Qi, dim)
+    inside_w: np.ndarray
+    outside_pts: np.ndarray  # (Qo, dim)
+    outside_w: np.ndarray
+    surface_pts: np.ndarray  # (Qs, dim)
+    surface_w: np.ndarray  # physical ds weights
+    surface_normals: np.ndarray  # (Qs, dim) physical unit
+
+
+class QuadratureGenerator:
+    def __init__(self, ls: LevelSetInterpolant, nq: int, max_depth: int = 6):
+        self.ls = ls
+        self.grid = ls.grid
+        self.nq = nq
+        self.max_depth = max_depth
+        self.gx, self.gw = quadrature.gauss(nq)
+        # monomial conversion for the height-line polynomials
+        V = np.vander(np.asarray(ls.nodes), ls.q, increasing=True)
+        self.Vinv = np.linalg.inv(V)
+
+    # -- helpers ---------------------------------------------------------
+    def _poly_on_line(self, cell_idx, height_axis, base_coords):
+        """Monomial (ascending) coefficients of psi restricted to a height
+        line at fixed base reference coords (dict axis->coord)."""
+        nodal = self.ls.line_nodal(cell_idx, height_axis, base_coords)
+        return self.Vinv @ nodal
+
+    def _roots_in(self, coeffs_asc, lo, hi):
+        c = np.trim_zeros(coeffs_asc[::-1], "f")
+        if len(c) <= 1:
+            return np.empty(0)
+        r = np.roots(c)
+        r = r[np.abs(r.imag) < 1e-9].real
+        r = r[(r > lo + _ROOT_TOL) & (r < hi - _ROOT_TOL)]
+        return np.sort(r)
+
+    def _grad_samples(self, cell_idx, lo, hi, n=5):
+        """Sample reference-coordinate gradient over the box; (dim, n^dim)."""
+        dim = self.grid.dim
+        axes = [np.linspace(lo[d], hi[d], n) for d in range(dim)]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        pts = np.stack([m.reshape(-1) for m in mesh], axis=-1)
+        g = np.empty((dim, len(pts)))
+        for d in range(dim):
+            deriv = tuple(1 if e == d else 0 for e in range(dim))
+            g[d] = self.ls.eval_cell(cell_idx, pts, deriv)
+        return g
+
+    # -- main entry ------------------------------------------------------
+    def cell_quadrature(self, cell_idx) -> CellQuadrature:
+        acc = {k: [] for k in ("ip", "iw", "op", "ow", "sp", "sw", "sn")}
+        dim = self.grid.dim
+        self._box(cell_idx, np.zeros(dim), np.ones(dim), 0, acc)
+        return CellQuadrature(
+            np.array(acc["ip"]).reshape(-1, dim),
+            np.array(acc["iw"]).reshape(-1),
+            np.array(acc["op"]).reshape(-1, dim),
+            np.array(acc["ow"]).reshape(-1),
+            np.array(acc["sp"]).reshape(-1, dim),
+            np.array(acc["sw"]).reshape(-1),
+            np.array(acc["sn"]).reshape(-1, dim),
+        )
+
+    def _bulk(self, lo, hi, side, acc):
+        """Full tensor Gauss rule on a (sub-)box, assigned to one side."""
+        dim = self.grid.dim
+        axes_p = [lo[d] + self.gx * (hi[d] - lo[d]) for d in range(dim)]
+        axes_w = [self.gw * (hi[d] - lo[d]) for d in range(dim)]
+        mesh = np.meshgrid(*axes_p, indexing="ij")
+        pts = np.stack([m.reshape(-1) for m in mesh], axis=-1)
+        wm = np.meshgrid(*axes_w, indexing="ij")
+        w = np.multiply.reduce([m.reshape(-1) for m in wm])
+        key = "i" if side == INSIDE else "o"
+        acc[key + "p"].extend(pts)
+        acc[key + "w"].extend(w)
+
+    def _box(self, cell_idx, lo, hi, depth, acc):
+        dim = self.grid.dim
+        # classify the box by sampling
+        axes = [np.linspace(lo[d], hi[d], 7) for d in range(dim)]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        pts = np.stack([m.reshape(-1) for m in mesh], axis=-1)
+        vals = self.ls.eval_cell(cell_idx, pts)
+        loc = _classify_values(vals)
+        if loc != INTERSECTED:
+            self._bulk(lo, hi, loc, acc)
+            return
+
+        if dim == 1:
+            self._box_1d(cell_idx, lo, hi, acc)
+            return
+
+        # choose sign-definite height axis with largest |d psi|
+        g = self._grad_samples(cell_idx, lo, hi)
+        best_axis, best_min = -1, 0.0
+        for d in range(dim):
+            gd = g[d] / (hi[d] - lo[d] + 1e-300)  # favor well-resolved axes
+            if np.all(gd > 0) or np.all(gd < 0):
+                m = np.abs(gd).min()
+                if m > best_min:
+                    best_axis, best_min = d, m
+        gmax = np.abs(g).max() + 1e-300
+        if best_axis < 0 or best_min < 1e-3 * gmax:
+            if depth < self.max_depth:
+                self._bisect(cell_idx, lo, hi, depth, acc)
+                return
+            # fallback: low-order sampling (should not happen for the
+            # reference geometries; keeps the generator total)
+            self._fallback(cell_idx, lo, hi, acc)
+            return
+
+        k = best_axis
+        base_axes = [d for d in range(dim) if d != k]
+        assert dim == 2, "3D cut quadrature: recursion not yet enabled"
+        b = base_axes[0]
+        # Saye dimension reduction: partition the base interval at the
+        # roots of psi restricted to the bottom/top faces of the box, so
+        # the per-line root count (and hence the integrand) is smooth on
+        # every sub-interval.
+        cuts = [lo[b], hi[b]]
+        for face_coord in (lo[k], hi[k]):
+            cpoly = self._poly_on_line(cell_idx, b, {k: face_coord})
+            cuts.extend(self._roots_in(cpoly, lo[b], hi[b]).tolist())
+        cuts = np.unique(np.asarray(cuts))
+        base_pts, base_ws = [], []
+        for a_, b_ in zip(cuts[:-1], cuts[1:]):
+            if b_ - a_ < _ROOT_TOL:
+                continue
+            base_pts.extend(a_ + self.gx * (b_ - a_))
+            base_ws.extend(self.gw * (b_ - a_))
+        for coord_b, wq in zip(base_pts, base_ws):
+            coords = {b: coord_b}
+            cpoly = self._poly_on_line(cell_idx, k, coords)
+            roots = self._roots_in(cpoly, lo[k], hi[k])
+            breaks = np.concatenate([[lo[k]], roots, [hi[k]]])
+            # near-tangency guard: derivative at roots too small -> bisect
+            if len(roots):
+                dpoly = cpoly[1:] * np.arange(1, len(cpoly))
+                dvals = np.polyval(dpoly[::-1], roots)
+                pt_list = []
+                for r, dv in zip(roots, dvals):
+                    pt = np.empty(dim)
+                    pt[k] = r
+                    for d in base_axes:
+                        pt[d] = coords[d]
+                    pt_list.append(pt)
+                grads_ref = np.stack(
+                    [
+                        self.ls.eval_cell(
+                            cell_idx,
+                            np.array(pt_list),
+                            tuple(1 if e == d else 0 for e in range(dim)),
+                        )
+                        for d in range(dim)
+                    ],
+                    axis=-1,
+                )  # (nroots, dim) reference grads
+                if np.any(
+                    np.abs(grads_ref[:, k]) < 1e-8 * np.linalg.norm(grads_ref, axis=1)
+                ):
+                    if depth < self.max_depth:
+                        self._bisect(cell_idx, lo, hi, depth, acc)
+                        return
+            # volume parts
+            for ia, ib in zip(breaks[:-1], breaks[1:]):
+                if ib - ia < _ROOT_TOL:
+                    continue
+                mid = 0.5 * (ia + ib)
+                side = INSIDE if np.polyval(cpoly[::-1], mid) < 0 else OUTSIDE
+                sub_pts = ia + self.gx * (ib - ia)
+                for sx, sw in zip(sub_pts, self.gw * (ib - ia)):
+                    pt = np.empty(dim)
+                    pt[k] = sx
+                    for d in base_axes:
+                        pt[d] = coords[d]
+                    key = "i" if side == INSIDE else "o"
+                    acc[key + "p"].append(pt)
+                    acc[key + "w"].append(wq * sw)
+            # surface parts
+            h = np.asarray(self.grid.h)
+            for r in roots:
+                pt = np.empty(dim)
+                pt[k] = r
+                for d in base_axes:
+                    pt[d] = coords[d]
+                gref = np.array(
+                    [
+                        self.ls.eval_cell(
+                            cell_idx,
+                            pt[None, :],
+                            tuple(1 if e == d else 0 for e in range(dim)),
+                        )[0]
+                        for d in range(dim)
+                    ]
+                )
+                gphys = gref / h
+                norm = np.linalg.norm(gphys)
+                # physical base measure of this quadrature combo:
+                w_base_phys = wq * np.prod([h[d] for d in base_axes])
+                w_surf = w_base_phys * norm / abs(gphys[k])
+                acc["sp"].append(pt)
+                acc["sw"].append(w_surf)
+                acc["sn"].append(gphys / norm)
+
+    def _box_1d(self, cell_idx, lo, hi, acc):
+        coeffs = self.Vinv @ self.ls.cell_nodal(cell_idx)
+        roots = self._roots_in(coeffs, lo[0], hi[0])
+        breaks = np.concatenate([[lo[0]], roots, [hi[0]]])
+        for a, b in zip(breaks[:-1], breaks[1:]):
+            if b - a < _ROOT_TOL:
+                continue
+            mid = 0.5 * (a + b)
+            side = INSIDE if np.polyval(coeffs[::-1], mid) < 0 else OUTSIDE
+            key = "i" if side == INSIDE else "o"
+            for sx, sw in zip(a + self.gx * (b - a), self.gw * (b - a)):
+                acc[key + "p"].append(np.array([sx]))
+                acc[key + "w"].append(sw)
+        dpoly = coeffs[1:] * np.arange(1, len(coeffs))
+        for r in roots:
+            d = np.polyval(dpoly[::-1], r) / self.grid.h[0]
+            acc["sp"].append(np.array([r]))
+            acc["sw"].append(1.0)
+            acc["sn"].append(np.array([np.sign(d)]))
+
+    def _bisect(self, cell_idx, lo, hi, depth, acc):
+        dim = self.grid.dim
+        mid = 0.5 * (lo + hi)
+        for corner in itertools.product(*[range(2)] * dim):
+            nlo = np.where(np.array(corner) == 0, lo, mid)
+            nhi = np.where(np.array(corner) == 0, mid, hi)
+            self._box(cell_idx, nlo, nhi, depth + 1, acc)
+
+    def _fallback(self, cell_idx, lo, hi, acc, n=8):
+        """Midpoint sampling volume rule (no surface contribution)."""
+        dim = self.grid.dim
+        axes = [lo[d] + (np.arange(n) + 0.5) / n * (hi[d] - lo[d]) for d in range(dim)]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        pts = np.stack([m.reshape(-1) for m in mesh], axis=-1)
+        vals = self.ls.eval_cell(cell_idx, pts)
+        w = np.prod((hi - lo) / n)
+        for pt, v in zip(pts, vals):
+            key = "i" if v < 0 else "o"
+            acc[key + "p"].append(pt)
+            acc[key + "w"].append(w)
+
+
+@dataclasses.dataclass
+class CutGeometry:
+    """All host-precomputed geometry for one (grid, level set) pair."""
+
+    grid: Grid
+    ls: LevelSetInterpolant
+    locations: np.ndarray  # int8, shape grid.cells
+    cut_cells: np.ndarray  # (n_cut,) flat cell ids (axis-0-fastest order)
+    cut_quads: list  # list[CellQuadrature], aligned with cut_cells
+
+    @staticmethod
+    def build(grid: Grid, level_set_fn, level_set_degree: int = None,
+              nq: int = None) -> "CutGeometry":
+        p = grid.degree
+        deg = level_set_degree if level_set_degree is not None else p
+        nq = nq if nq is not None else p + 1
+        ls = LevelSetInterpolant(grid, level_set_fn, deg)
+        locations = classify_cells(ls)
+        gen = QuadratureGenerator(ls, nq)
+        # flat ids axis-0-fastest (reference cell enumeration)
+        loc_flat = np.transpose(
+            locations, list(range(grid.dim - 1, -1, -1))
+        ).reshape(-1)
+        cut_ids = np.where(loc_flat == INTERSECTED)[0].astype(np.int32)
+        quads = []
+        for cid in cut_ids:
+            idx = _unflatten(cid, grid.cells)
+            quads.append(gen.cell_quadrature(idx))
+        return CutGeometry(grid, ls, locations, cut_ids, quads)
+
+    @property
+    def locations_flat(self) -> np.ndarray:
+        return np.transpose(
+            self.locations, list(range(self.grid.dim - 1, -1, -1))
+        ).reshape(-1)
+
+    def ghost_penalty_faces(self, location: int):
+        """Interior faces needing ghost penalty for the given location
+        (INSIDE or OUTSIDE block), as (axis, cell_minus_flat, cell_plus_flat)
+        arrays.  Reference predicate: applications/wave/include/gdm/wave/
+        mass.h:86-106 — face between K and N is penalized iff
+        (K intersected and N != inverse) or (N intersected and K != inverse).
+        Each face is counted ONCE here (the reference visits it twice with
+        a 0.5 factor)."""
+        inverse = OUTSIDE if location == INSIDE else INSIDE
+        loc = self.locations
+        grid = self.grid
+        faces = []
+        for d in range(grid.dim):
+            slm = [slice(None)] * grid.dim
+            slp = [slice(None)] * grid.dim
+            slm[d] = slice(0, grid.cells[d] - 1)
+            slp[d] = slice(1, grid.cells[d])
+            a = loc[tuple(slm)]
+            b = loc[tuple(slp)]
+            pen = ((a == INTERSECTED) & (b != inverse)) | (
+                (b == INTERSECTED) & (a != inverse)
+            )
+            idx = np.argwhere(pen)
+            for row in idx:
+                cm = list(row)
+                cp = list(row)
+                cp[d] += 1
+                faces.append((d, _flatten(cm, grid.cells), _flatten(cp, grid.cells)))
+        return faces
+
+
+def _unflatten(flat, cells):
+    idx = []
+    for n in cells:
+        idx.append(flat % n)
+        flat //= n
+    return tuple(idx)
+
+
+def _flatten(idx, cells):
+    out = 0
+    stride = 1
+    for i, n in zip(idx, cells):
+        out += int(i) * stride
+        stride *= n
+    return out

@@ -1,0 +1,471 @@
+"""Cut-cell wave/heat/Poisson application.
+
+Re-implements the reference wave application end to end
+(applications/wave/): Parameters + named presets (wave-app.cc:9-354),
+Discretization (level-set interpolation + classification), cut mass /
+stiffness operators, the simulation-type dispatch with RK4 / implicit
+Euler time loops (problem.h:39-440), and error postprocessing in the
+reference's printed format.
+
+Function convention: scalar field functions take (pts, t) where pts is a
+CONCRETE numpy array of physical points shaped (..., dim); spatial math
+can use numpy (becomes jit constants), time-dependence must use jnp so a
+traced t works.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import solvers, timestepping
+from ..cut.geometry import INSIDE, OUTSIDE, CutGeometry
+from ..cut.operators import CutOperators
+from ..grid import Grid
+
+
+@dataclasses.dataclass
+class WaveParams:
+    """Mirror of the reference Parameters struct
+    (applications/wave/include/gdm/wave/parameters.h)."""
+
+    simulation_type: str = "poisson"
+    fe_degree: int = 3
+    n_components: int = 1
+    composite: bool = False
+    n_subdivisions_1D: int = 40
+    geometry_left: float = -1.21
+    geometry_right: float = 1.21
+    ghost_parameter_M: float = -1.0
+    ghost_parameter_A: float = -1.0
+    nitsche_parameter: float = -1.0
+    function_domain_dbc: Optional[Callable] = None
+    function_interface_dbc: Optional[Callable] = None
+    function_rhs: Optional[Callable] = None
+    exact_solution: Optional[Callable] = None
+    start_t: float = 0.0
+    end_t: float = 0.1
+    cfl: float = 0.3
+    cfl_pow: float = 1.0
+    solver_name: str = "CG"
+    solver_max_iterations: int = 1000
+    solver_abs_tolerance: float = 1e-20
+    solver_rel_tolerance: float = 1e-14
+    level_set_fe_degree: int = 3
+    level_set_function: Optional[Callable] = None
+    output_fe_degree: int = 3
+    dim: int = 1
+
+
+def sphere_signed_distance(mesh_list):
+    return np.sqrt(sum(np.asarray(m) ** 2 for m in mesh_list)) - 1.0
+
+
+def make_preset(name: str, dim: int) -> WaveParams:
+    """Named presets of wave-app.cc:9-354."""
+    import scipy.special
+
+    p = WaveParams(dim=dim)
+    if name == "step85":
+        p.simulation_type = "poisson"
+        p.fe_degree = 3
+        p.ghost_parameter_M = -1.0
+        p.ghost_parameter_A = 0.5
+        p.nitsche_parameter = 5.0 * p.fe_degree
+        p.function_interface_dbc = lambda pts, t: jnp.full(pts.shape[:-1], 1.0)
+        p.function_rhs = lambda pts, t: jnp.full(pts.shape[:-1], 4.0)
+        p.exact_solution = lambda pts, t: jnp.asarray(
+            1.0 - 2.0 / dim * ((pts**2).sum(-1) - 1.0)
+        )
+        p.end_t = 0.1
+    elif name in ("heat", "heat-rk", "heat-impl"):
+        p.simulation_type = "heat-impl" if name == "heat" else name
+        p.fe_degree = 3
+        p.ghost_parameter_M = 0.75
+        p.ghost_parameter_A = 1.5
+        p.nitsche_parameter = 5.0 * p.fe_degree
+
+        def g(pts, t):
+            if dim == 1:
+                return pts[..., 0] ** 9 * jnp.exp(-t)
+            return pts[..., 0] ** 9 * pts[..., 1] ** 8 * jnp.exp(-t)
+
+        def f(pts, t):
+            if dim == 1:
+                return -(pts[..., 0] ** 7) * jnp.exp(-t) * (pts[..., 0] ** 2 + 72)
+            x, y = pts[..., 0], pts[..., 1]
+            return (
+                -(x**7) * y**6 * jnp.exp(-t)
+                * (x**2 * y**2 + 72 * y**2 + 56 * x**2)
+            )
+
+        p.function_interface_dbc = g
+        p.function_rhs = f
+        p.exact_solution = g
+        if p.simulation_type == "heat-rk":
+            p.cfl = 0.3 / p.fe_degree / p.fe_degree
+            p.cfl_pow = 2.0
+        else:
+            p.cfl = 0.3
+            p.cfl_pow = 1.0
+    elif name == "heat-composite":
+        p = make_preset("heat-rk", dim)
+        p.simulation_type = "heat-rk"
+        p.composite = True
+        p.function_domain_dbc = p.function_interface_dbc
+        p.function_interface_dbc = None
+        return p
+    elif name in ("wave", "wave-composite"):
+        p.simulation_type = "wave-rk"
+        p.fe_degree = 3
+        p.composite = name == "wave-composite"
+        p.ghost_parameter_M = 0.25 * np.sqrt(3.0)
+        p.ghost_parameter_A = 0.50 * np.sqrt(3.0)
+        p.nitsche_parameter = 5.0 * p.fe_degree
+
+        def g(pts, t):
+            r = np.linalg.norm(np.asarray(pts), axis=-1)
+            if dim == 1:
+                wn = 1.5 * np.pi
+                return np.cos(wn * r) * jnp.cos(wn * t)
+            wn = 3.0 * np.pi
+            return scipy.special.j0(wn * r) * jnp.cos(wn * t)
+
+        if p.composite:
+            p.function_domain_dbc = g
+        else:
+            p.function_interface_dbc = g
+        p.function_rhs = None
+        p.exact_solution = g
+        p.start_t = 0.0
+        p.end_t = 2.0
+        p.cfl = 0.3
+        p.cfl_pow = 1.0
+    else:
+        raise ValueError(f"unknown preset {name}")
+    p.level_set_fe_degree = p.fe_degree
+    p.level_set_function = sphere_signed_distance
+    return p
+
+
+def _exact_time_derivative(g, eps=1e-6):
+    return lambda pts, t: (g(pts, t + eps) - g(pts, t - eps)) / (2 * eps)
+
+
+class WaveProblem:
+    def __init__(self, params: WaveParams, verbose: bool = True):
+        self.params = params
+        self.verbose = verbose
+        self.rows = {0: [], 1: []}  # postprocess rows per location slot
+        dim = params.dim
+        self.grid = Grid(
+            params.fe_degree,
+            (params.n_subdivisions_1D,) * dim,
+            (params.geometry_left,) * dim,
+            (params.geometry_right,) * dim,
+        )
+        self.geo = CutGeometry.build(
+            self.grid, params.level_set_function, params.level_set_fe_degree
+        )
+        self.dx = (params.geometry_right - params.geometry_left) / \
+            params.n_subdivisions_1D
+        self.op_in = CutOperators(self.geo, INSIDE)
+        self.op_out = (
+            CutOperators(self.geo, OUTSIDE) if params.composite else None
+        )
+
+    # -- helpers --------------------------------------------------------
+    def interpolate_exact(self, t: float) -> jnp.ndarray:
+        mesh = self.grid.node_coords_mesh()
+        pts = np.stack(mesh, axis=-1)
+        vals = self.params.exact_solution(pts, t)
+        return jnp.asarray(np.asarray(vals).reshape(-1))
+
+    def _mass_solver(self, op: CutOperators):
+        gm = self.params.ghost_parameter_M
+        diag = jnp.asarray(op.mass_diagonal(gm))
+        pre = solvers.jacobi_preconditioner(diag)
+        pp = self.params
+
+        def solve(b):
+            x, info = solvers.cg(
+                lambda v: op.mass_apply(v, gm), b, precond=pre,
+                max_iter=pp.solver_max_iterations,
+                abs_tol=pp.solver_abs_tolerance,
+                rel_tol=pp.solver_rel_tolerance,
+            )
+            return x
+
+        return solve
+
+    def postprocess(self, t, u, location=INSIDE):
+        op = self.op_in if location == INSIDE else self.op_out
+        slot = 0 if location == INSIDE else 1
+        l2, l1, linf = (float(x) for x in op.error_norms(
+            u, self.params.exact_solution, t))
+        counter = len(self.rows[slot])
+        self.rows[slot].append((counter, t, l2, l1, linf))
+        if self.verbose:
+            print("%5d %8.5f %14.8e %14.8e %14.8e" % (counter, t, l2, l1, linf))
+
+    # -- main dispatch --------------------------------------------------
+    def run(self):
+        pp = self.params
+        st = pp.simulation_type
+        if st == "poisson":
+            self._run_poisson()
+        elif st == "heat-rk" and not pp.composite:
+            self._run_explicit(heat=True)
+        elif st == "heat-rk":
+            self._run_explicit_composite(heat=True)
+        elif st == "heat-impl":
+            self._run_heat_impl()
+        elif st == "wave-rk" and not pp.composite:
+            self._run_explicit(heat=False)
+        elif st == "wave-rk":
+            self._run_explicit_composite(heat=False)
+        else:
+            raise ValueError(st)
+        return self.rows
+
+    # -- poisson --------------------------------------------------------
+    def _run_poisson(self):
+        pp = self.params
+        op = self.op_in
+        ga, gn = pp.ghost_parameter_A, pp.nitsche_parameter
+
+        @jax.jit
+        def solve():
+            zero = jnp.zeros(self.grid.n_nodes)
+            b = op.compute_rhs(
+                zero, 0.0, False, rhs_fn=pp.function_rhs,
+                interface_dbc=pp.function_interface_dbc,
+                domain_dbc=pp.function_domain_dbc,
+                nitsche_gamma=gn,
+            )
+            diag = jnp.asarray(self._stiffness_diag())
+            x, info = solvers.cg(
+                lambda v: op.stiffness_matrix_apply(v, ga, gn,
+                                                    with_nitsche=pp.function_interface_dbc is not None),
+                b, precond=solvers.jacobi_preconditioner(diag),
+                max_iter=pp.solver_max_iterations,
+                abs_tol=pp.solver_abs_tolerance,
+                rel_tol=pp.solver_rel_tolerance,
+            )
+            return x
+
+        u = solve()
+        self.postprocess(0.0, u)
+
+    def _stiffness_diag(self) -> np.ndarray:
+        """Host-side diagonal of the cut stiffness matrix."""
+        op = self.op_in
+        pp = self.params
+        N = self.grid.n_nodes
+        diag = np.zeros(N)
+        if len(op.full_ids):
+            mats = op.A_stiff[op.cat_full]
+            np.add.at(diag, op.w_full.reshape(-1),
+                      np.einsum("nii->ni", mats).reshape(-1))
+        if len(op.cut_ids):
+            d = np.einsum("nqdi,nqdi,nq->ni", op.G_cut, op.G_cut, op.vol_w)
+            np.add.at(diag, op.w_cut.reshape(-1), d.reshape(-1))
+            if pp.function_interface_dbc is not None:
+                Gn = np.einsum("nqdi,nqd->nqi", op.G_surf, op.surf_n)
+                d = np.einsum(
+                    "nqi,nqi,nq->ni",
+                    (pp.nitsche_parameter / op.h_min) * op.V_surf - 2 * Gn,
+                    op.V_surf, op.surf_w)
+                np.add.at(diag, op.w_cut.reshape(-1), d.reshape(-1))
+        if len(op.gp_win):
+            scale = pp.ghost_parameter_A * op.h_min**3
+            d = scale * np.einsum("faa->fa", op.gp_mat)
+            np.add.at(diag, op.gp_win.reshape(-1), d.reshape(-1))
+        diag[op.inactive] += 1.0
+        # guard against non-positive diagonal entries (possible with
+        # aggressive Nitsche sign structure)
+        diag[diag <= 0] = 1.0
+        return diag
+
+    # -- heat / wave explicit -------------------------------------------
+    def _rhs_fn(self, op: CutOperators):
+        pp = self.params
+
+        def rhs(u, t):
+            return op.compute_rhs(
+                u, t, True, rhs_fn=pp.function_rhs,
+                interface_dbc=pp.function_interface_dbc,
+                domain_dbc=pp.function_domain_dbc,
+                gamma_A=pp.ghost_parameter_A,
+                nitsche_gamma=pp.nitsche_parameter,
+            )
+
+        return rhs
+
+    def _run_explicit(self, heat: bool):
+        pp = self.params
+        op = self.op_in
+        delta_t = pp.cfl * self.dx**pp.cfl_pow
+        msolve = self._mass_solver(op)
+        rhs = self._rhs_fn(op)
+
+        if heat:
+            def f(t, u):
+                return msolve(rhs(u, t))
+            y0 = self.interpolate_exact(pp.start_t)
+        else:
+            def f(t, y):
+                u, v = y
+                return (v, msolve(rhs(u, t)))
+            y0 = (self.interpolate_exact(pp.start_t),
+                  jnp.zeros(self.grid.n_nodes))
+
+        step = jax.jit(lambda t, dt, y: timestepping.rk_step(f, t, dt, y))
+        sol = self._time_loop(step, y0, delta_t,
+                              extract=lambda y: y if heat else y[0])
+
+    def _run_explicit_composite(self, heat: bool):
+        pp = self.params
+        delta_t = pp.cfl * self.dx**pp.cfl_pow
+        ops = (self.op_in, self.op_out)
+        solves = (self._mass_solver(ops[0]), self._mass_solver(ops[1]))
+        rhss = (self._rhs_fn(ops[0]), self._rhs_fn(ops[1]))
+        tau = 0.5 * pp.nitsche_parameter
+        couple = pp.function_interface_dbc is None
+
+        def coupled_rhs(u0, u1, t):
+            r0 = rhss[0](u0, t)
+            r1 = rhss[1](u1, t)
+            if couple:
+                r0, r1 = _interface_coupling(
+                    self.op_in, r0, r1, u0, u1, tau)
+            return r0, r1
+
+        if heat:
+            def f(t, y):
+                u0, u1 = y
+                r0, r1 = coupled_rhs(u0, u1, t)
+                return (solves[0](r0), solves[1](r1))
+            y0 = (self.interpolate_exact(pp.start_t),
+                  self.interpolate_exact(pp.start_t))
+            extract = None
+        else:
+            def f(t, y):
+                u0, u1, v0, v1 = y
+                r0, r1 = coupled_rhs(u0, u1, t)
+                return (v0, v1, solves[0](r0), solves[1](r1))
+            z = jnp.zeros(self.grid.n_nodes)
+            y0 = (self.interpolate_exact(pp.start_t),
+                  self.interpolate_exact(pp.start_t), z, z)
+            extract = None
+
+        step = jax.jit(lambda t, dt, y: timestepping.rk_step(f, t, dt, y))
+
+        time = timestepping.DiscreteTime(pp.start_t, pp.end_t, delta_t)
+        y = y0
+        self.postprocess(pp.start_t, y[0], INSIDE)
+        self.postprocess(pp.start_t, y[1], OUTSIDE)
+        while not time.is_at_end():
+            t, dt = time.get_current_time(), time.get_next_step_size()
+            y = step(t, dt, y)
+            self.postprocess(t + dt, y[0], INSIDE)
+            self.postprocess(t + dt, y[1], OUTSIDE)
+            time.advance_time()
+
+    def _run_heat_impl(self):
+        pp = self.params
+        op = self.op_in
+        delta_t = pp.cfl * self.dx**pp.cfl_pow
+        ga, gn = pp.ghost_parameter_A, pp.nitsche_parameter
+        gm = pp.ghost_parameter_M
+        with_nitsche = pp.function_interface_dbc is not None
+        mdiag = op.mass_diagonal(gm)
+        sdiag = self._stiffness_diag() - (1.0 * op.inactive)  # avoid double id
+
+        def system_apply(v, dt):
+            return op.mass_apply(v, gm) + dt * (
+                op.stiffness_matrix_apply(v, ga, gn, with_nitsche)
+                - jnp.where(jnp.asarray(op.inactive), v, 0.0))
+
+        def make_step(dt):
+            diag = jnp.asarray(mdiag + dt * sdiag)
+            pre = solvers.jacobi_preconditioner(diag)
+
+            @jax.jit
+            def step(t_next, u):
+                b = op.compute_rhs(
+                    u, t_next, False, rhs_fn=pp.function_rhs,
+                    interface_dbc=pp.function_interface_dbc,
+                    domain_dbc=pp.function_domain_dbc,
+                    nitsche_gamma=gn,
+                )
+                b = dt * b + op.mass_apply(u, gm)
+                x, _ = solvers.cg(
+                    lambda v: system_apply(v, dt), b, precond=pre,
+                    max_iter=pp.solver_max_iterations,
+                    abs_tol=pp.solver_abs_tolerance,
+                    rel_tol=pp.solver_rel_tolerance,
+                )
+                return x
+
+            return step
+
+        steps = {}
+        time = timestepping.DiscreteTime(pp.start_t, pp.end_t, delta_t)
+        u = self.interpolate_exact(pp.start_t)
+        self.postprocess(pp.start_t, u)
+        while not time.is_at_end():
+            t, dt = time.get_current_time(), time.get_next_step_size()
+            if dt not in steps:
+                steps[dt] = make_step(dt)
+            u = steps[dt](t + dt, u)
+            self.postprocess(t + dt, u)
+            time.advance_time()
+
+    def _time_loop(self, step, y0, delta_t, extract):
+        pp = self.params
+        time = timestepping.DiscreteTime(pp.start_t, pp.end_t, delta_t)
+        y = y0
+        self.postprocess(pp.start_t, extract(y))
+        while not time.is_at_end():
+            t, dt = time.get_current_time(), time.get_next_step_size()
+            y = step(t, dt, y)
+            self.postprocess(t + dt, extract(y))
+            time.advance_time()
+        return y
+
+
+def _interface_coupling(op_in: CutOperators, r0, r1, u0, u1, tau):
+    """Composite interface flux coupling (wave stiffness.h:422-574)."""
+    V = jnp.asarray(op_in.V_surf)
+    G = jnp.asarray(op_in.G_surf)
+    nrm = jnp.asarray(op_in.surf_n)  # inside-outward orientation
+    w = jnp.asarray(op_in.surf_w)
+    win = jnp.asarray(op_in.w_cut)
+    h = op_in.h_min
+    u0w = u0[win]
+    u1w = u1[win]
+    u0q = jnp.einsum("nqi,ni->nq", V, u0w)
+    u1q = jnp.einsum("nqi,ni->nq", V, u1w)
+    Gn = jnp.einsum("nqdi,nqd->nqi", G, nrm)
+    g0q = jnp.einsum("nqi,ni->nq", Gn, u0w)
+    g1q = jnp.einsum("nqi,ni->nq", Gn, u1w)
+    jump = u0q - u1q
+    avg = 0.5 * (g0q + g1q)
+    c0 = -(
+        -0.5 * jnp.einsum("nqi,nq,nq->ni", Gn, jump, w)
+        - jnp.einsum("nqi,nq,nq->ni", V, avg, w)
+        + (tau / h) * jnp.einsum("nqi,nq,nq->ni", V, jump, w)
+    )
+    c1 = -(
+        -0.5 * jnp.einsum("nqi,nq,nq->ni", Gn, jump, w)
+        + jnp.einsum("nqi,nq,nq->ni", V, avg, w)
+        - (tau / h) * jnp.einsum("nqi,nq,nq->ni", V, jump, w)
+    )
+    r0 = r0.at[win.reshape(-1)].add(c0.reshape(-1))
+    r1 = r1.at[win.reshape(-1)].add(c1.reshape(-1))
+    return r0, r1

@@ -1,0 +1,70 @@
+"""Golden tests for the wave application against the reference's
+committed app regression outputs (applications/wave/tests/*.output).
+
+Each output is a sequence of postprocess rows
+    counter  time  L2  L1  Linf
+(composite runs interleave inside/outside rows).  After the
+ghost-penalty-counting fix these match the reference to nearly all
+printed digits; tolerances below leave room for 2D cut-quadrature
+flavor differences (~1e-6 relative).
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+
+from gdm.problems.wave import WaveProblem, make_preset
+
+REF = "/root/reference/applications/wave/tests"
+
+
+def parse_rows(path, n_slots=1):
+    rows = {s: [] for s in range(n_slots)}
+    pat = re.compile(r"^\s*(\d+)\s+([\d.]+)\s+([\d.e+-]+)\s+([\d.e+-]+)\s+([\d.e+-]+)\s*$")
+    i = 0
+    with open(path) as f:
+        for line in f:
+            m = pat.match(line)
+            if not m:
+                continue
+            vals = [float(x) for x in m.groups()]
+            rows[i % n_slots].append(vals)
+            i += 1
+    return rows
+
+
+CASES = [
+    # (output file, preset, dim, n_slots, rtol_l2, rtol_linf)
+    ("step85_0.output", "step85", 2, 1, 1e-4, 1e-4),
+    ("heat_0.output", "heat-impl", 1, 1, 1e-6, 1e-6),
+    ("heat_1.output", "heat-rk", 1, 1, 1e-6, 1e-6),
+    ("heat_composite_0.output", "heat-composite", 1, 2, 1e-6, 1e-6),
+    ("wave_0.output", "wave", 1, 1, 1e-6, 1e-6),
+    ("wave_1.output", "wave", 2, 1, 1e-5, 1e-4),
+    ("wave_composite_0.output", "wave-composite", 1, 2, 1e-6, 1e-6),
+]
+
+
+@pytest.mark.parametrize(
+    "output,preset,dim,n_slots,rtol_l2,rtol_linf",
+    CASES,
+    ids=[c[0].split(".")[0] for c in CASES],
+)
+def test_wave_app_golden(output, preset, dim, n_slots, rtol_l2, rtol_linf):
+    golden = parse_rows(f"{REF}/{output}", n_slots)
+    params = make_preset(preset, dim)
+    prob = WaveProblem(params, verbose=False)
+    prob.run()
+    for slot in range(n_slots):
+        grows = golden[slot]
+        mrows = prob.rows[slot]
+        assert len(mrows) == len(grows), (len(mrows), len(grows))
+        for (gc, gt, gl2, gl1, gli), (mc, mt, ml2, ml1, mli) in zip(grows, mrows):
+            assert gc == mc
+            np.testing.assert_allclose(mt, gt, atol=5e-6)
+            np.testing.assert_allclose(ml2, gl2, rtol=rtol_l2)
+            np.testing.assert_allclose(ml1, gl1, rtol=rtol_l2)
+            np.testing.assert_allclose(mli, gli, rtol=rtol_linf)
