@@ -1,0 +1,299 @@
+"""Cut advection application: single-domain and composite two-domain
+problems with RK-evolved boundary conditions.
+
+Re-implements applications/advection/ (problem.h, advection-app.cc,
+advection-convergence.cc): upwind embedded fluxes, boundary values as
+extra ODE blocks, mass-matrix CG per stage, 6-column error reporting
+(volume and surface L2/L1/Linf), ConvergenceTable-compatible summaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import solvers, timestepping
+from ..cut.advection import AdvectionOperators
+from ..cut.geometry import INSIDE, OUTSIDE, CutGeometry
+from ..cut.operators import CutOperators
+from ..grid import Grid
+
+
+@dataclasses.dataclass
+class AdvectionParams:
+    """Mirror of applications/advection/include/gdm/advection/parameters.h."""
+
+    fe_degree: int = 3
+    n_components: int = 1
+    composite: bool = False
+    n_subdivisions_1D: int = 40
+    geometry_left: float = 0.0
+    geometry_right: float = 1.0
+    ghost_parameter_M: float = 0.5
+    ghost_parameter_A: float = 0.5
+    exact_solution: Optional[Callable] = None
+    exact_solution_der: Optional[Callable] = None
+    start_t: float = 0.0
+    end_t: float = 0.1
+    cfl: float = 0.4
+    solver_max_iterations: int = 1000
+    solver_abs_tolerance: float = 1e-20
+    solver_rel_tolerance: float = 1e-14
+    max_val: float = 2.0
+    advection: tuple = (1.0, 0.0)
+    advection_1: tuple = (0.0, 0.0)
+    level_set_fe_degree: int = 1
+    level_set_function: Optional[Callable] = None
+    dim: int = 2
+
+
+def plane_signed_distance(point, normal):
+    n = np.asarray(normal) / np.linalg.norm(normal)
+    p0 = np.asarray(point)
+
+    def fn(mesh_list):
+        return sum(
+            (np.asarray(m) - p0[d]) * n[d] for d, m in enumerate(mesh_list)
+        )
+
+    return fn
+
+
+def convergence_case(fe_degree: int, n_subdivisions_1D: int, cfl: float,
+                     factor_rotation: float, factor: float) -> AdvectionParams:
+    """Setup of advection-convergence.cc:123-185 ("DoD stabilization"
+    rotated-ramp convergence study)."""
+    increment = 5.0
+    phi = (np.pi * increment / 180.0) * factor
+    phi_add = (np.pi * increment / 180.0) * factor_rotation
+    x_shift = 0.2001
+    a = (2.0 * np.cos(phi + phi_add), 2.0 * np.sin(phi + phi_add))
+
+    def exact(pts, t):
+        pos0 = pts[..., 0] - t * a[0]
+        pos1 = pts[..., 1] - t * a[1]
+        x_hat = np.cos(phi) * (pos0 - x_shift) + np.sin(phi) * pos1
+        return jnp.sin(np.sqrt(2.0) * np.pi * x_hat / (1.0 - x_shift))
+
+    def exact_der(pts, t):
+        pos0 = pts[..., 0] - t * a[0]
+        pos1 = pts[..., 1] - t * a[1]
+        x_hat = np.cos(phi) * (pos0 - x_shift) + np.sin(phi) * pos1
+        return (
+            jnp.cos(np.sqrt(2.0) * np.pi * x_hat / (1.0 - x_shift))
+            * (np.sqrt(2.0) * np.pi / (1.0 - x_shift))
+            * (np.cos(phi) * (-a[0]) + np.sin(phi) * (-a[1]))
+        )
+
+    p = AdvectionParams(
+        fe_degree=fe_degree,
+        n_subdivisions_1D=n_subdivisions_1D,
+        geometry_left=0.0,
+        geometry_right=1.0,
+        ghost_parameter_M=0.5,
+        ghost_parameter_A=0.5,
+        start_t=0.0,
+        end_t=0.1,
+        cfl=cfl,
+        max_val=2.0,
+        advection=a,
+        exact_solution=exact,
+        exact_solution_der=exact_der,
+        level_set_fe_degree=1,
+        level_set_function=plane_signed_distance(
+            (x_shift, 0.0), (np.sin(phi), -np.cos(phi))
+        ),
+        dim=2,
+    )
+    return p
+
+
+def composite_app_case() -> AdvectionParams:
+    """Setup of advection-app.cc:86-154 (composite "DoD" case)."""
+    factor = 27.0
+    increment = 5.0
+    phi = (np.pi * increment / 180.0) * factor
+    x_shift = 0.25
+
+    def exact(pts, t):
+        d = np.sqrt((pts[..., 0] + 0.3) ** 2 + (pts[..., 1] + 0.3) ** 2)
+        return jnp.maximum(0.0, 0.3 - d) + 0.0 * t
+
+    def exact_der(pts, t):
+        return jnp.zeros(pts.shape[:-1]) + 0.0 * t
+
+    return AdvectionParams(
+        fe_degree=5,
+        composite=True,
+        n_subdivisions_1D=200,
+        geometry_left=-1.0,
+        geometry_right=1.0,
+        ghost_parameter_M=0.5,
+        ghost_parameter_A=0.5,
+        start_t=0.0,
+        end_t=0.6,
+        cfl=0.2,
+        max_val=4.0,
+        advection=(3.0, 1.0),
+        advection_1=(1.0, 2.0),
+        exact_solution=exact,
+        exact_solution_der=exact_der,
+        level_set_fe_degree=1,
+        level_set_function=plane_signed_distance(
+            (x_shift, 0.0), (np.sin(phi), -np.cos(phi))
+        ),
+        dim=2,
+    )
+
+
+class AdvectionProblem:
+    def __init__(self, params: AdvectionParams, verbose: bool = False):
+        self.params = params
+        self.verbose = verbose
+        pp = params
+        dim = pp.dim
+        self.grid = Grid(
+            pp.fe_degree,
+            (pp.n_subdivisions_1D,) * dim,
+            (pp.geometry_left,) * dim,
+            (pp.geometry_right,) * dim,
+        )
+        self.geo = CutGeometry.build(
+            self.grid, pp.level_set_function, pp.level_set_fe_degree
+        )
+        self.dx = (pp.geometry_right - pp.geometry_left) / pp.n_subdivisions_1D
+        self.op_in = CutOperators(self.geo, INSIDE)
+        self.adv_in = AdvectionOperators(self.op_in, pp.advection)
+        if pp.composite:
+            self.op_out = CutOperators(self.geo, OUTSIDE)
+            self.adv_out = AdvectionOperators(self.op_out, pp.advection_1)
+        else:
+            self.op_out = self.adv_out = None
+        self.rows = {0: [], 1: []}
+
+    def interpolate_exact(self, t):
+        mesh = self.grid.node_coords_mesh()
+        pts = np.stack(mesh, axis=-1)
+        return jnp.asarray(np.asarray(self.params.exact_solution(pts, t)).reshape(-1))
+
+    def _mass_solver(self, op):
+        pp = self.params
+        gm = pp.ghost_parameter_M
+        diag = jnp.asarray(op.mass_diagonal(gm))
+        pre = solvers.jacobi_preconditioner(diag)
+
+        def solve(b):
+            x, _ = solvers.cg(
+                lambda v: op.mass_apply(v, gm), b, precond=pre,
+                max_iter=pp.solver_max_iterations,
+                abs_tol=pp.solver_abs_tolerance,
+                rel_tol=pp.solver_rel_tolerance,
+            )
+            return x
+
+        return solve
+
+    def postprocess(self, t, u, location=INSIDE):
+        op = self.op_in if location == INSIDE else self.op_out
+        adv = self.adv_in if location == INSIDE else self.adv_out
+        slot = 0 if location == INSIDE else 1
+        if not hasattr(self, "_err_jit"):
+            self._err_jit = {}
+        if slot not in self._err_jit:
+            self._err_jit[slot] = jax.jit(
+                lambda u, t, op=op, adv=adv: (
+                    op.error_norms(u, self.params.exact_solution, t),
+                    adv.surface_error_norms(u, self.params.exact_solution, t),
+                ))
+        (l2, l1, li), (fl2, fl1, fli) = self._err_jit[slot](u, t)
+        l2, l1, li, fl2, fl1, fli = (
+            float(x) for x in (l2, l1, li, fl2, fl1, fli))
+        counter = len(self.rows[slot])
+        self.rows[slot].append((counter, t, l2, l1, li, fl2, fl1, fli))
+        if self.verbose:
+            print("%5d %8.5f %14.8e %14.8e %14.8e | %14.8e %14.8e %14.8e"
+                  % (counter, t, l2, l1, li, fl2, fl1, fli))
+        return (li, l1, l2, fli, fl1, fl2)
+
+    def run(self):
+        pp = self.params
+        delta_t = self.dx * pp.cfl / pp.max_val
+        if pp.composite:
+            return self._run_composite(delta_t)
+        return self._run_single(delta_t)
+
+    def _bc_values(self, adv: AdvectionOperators, t):
+        """(bc_surf, bc_bdry) = exact solution at the collected points."""
+        ops = adv.ops
+        bs = self.params.exact_solution(ops.surf_phys_q, t) \
+            if len(ops.cut_ids) else jnp.zeros((0, 1))
+        bb = self.params.exact_solution(ops.b_phys, t) \
+            if len(ops.b_win) else jnp.zeros((0, 1))
+        return jnp.asarray(bs), jnp.asarray(bb)
+
+    def _bc_der(self, adv: AdvectionOperators, t):
+        ops = adv.ops
+        der = self.params.exact_solution_der
+        bs = der(ops.surf_phys_q, t) if len(ops.cut_ids) else jnp.zeros((0, 1))
+        bb = der(ops.b_phys, t) if len(ops.b_win) else jnp.zeros((0, 1))
+        return jnp.asarray(bs), jnp.asarray(bb)
+
+    def _run_single(self, delta_t):
+        pp = self.params
+        adv = self.adv_in
+        msolve = self._mass_solver(self.op_in)
+
+        def f(t, y):
+            bs, bb, u = y
+            dbs, dbb = self._bc_der(adv, t)
+            r = adv.compute_rhs(u, bs, bb, pp.ghost_parameter_A)
+            return (dbs, dbb, msolve(r))
+
+        step = jax.jit(lambda t, dt, y: timestepping.rk_step(f, t, dt, y))
+
+        u = self.interpolate_exact(pp.start_t)
+        err = self.postprocess(pp.start_t, u)
+        time = timestepping.DiscreteTime(pp.start_t, pp.end_t, delta_t)
+        while (not time.is_at_end()) and err[2] < 1.0:
+            t, dt = time.get_current_time(), time.get_next_step_size()
+            bs, bb = self._bc_values(adv, t)
+            bs, bb, u = step(t, dt, (bs, bb, u))
+            err = self.postprocess(t + dt, u)
+            time.advance_time()
+        return self.rows
+
+    def _run_composite(self, delta_t):
+        pp = self.params
+        solves = (self._mass_solver(self.op_in), self._mass_solver(self.op_out))
+
+        def f(t, y):
+            bb0, u0, bb1, u1 = y
+            _, dbb0 = self._bc_der(self.adv_in, t)
+            _, dbb1 = self._bc_der(self.adv_out, t)
+            zero_s = jnp.zeros((0, 1))
+            r0 = self.adv_in.compute_rhs(u0, None, bb0, pp.ghost_parameter_A,
+                                         u_other=u1)
+            r1 = self.adv_out.compute_rhs(u1, None, bb1, pp.ghost_parameter_A,
+                                          u_other=u0)
+            return (dbb0, solves[0](r0), dbb1, solves[1](r1))
+
+        step = jax.jit(lambda t, dt, y: timestepping.rk_step(f, t, dt, y))
+
+        u0 = self.interpolate_exact(pp.start_t)
+        u1 = self.interpolate_exact(pp.start_t)
+        err = self.postprocess(pp.start_t, u0, INSIDE)
+        err = self.postprocess(pp.start_t, u1, OUTSIDE)
+        time = timestepping.DiscreteTime(pp.start_t, pp.end_t, delta_t)
+        while (not time.is_at_end()) and err[2] < 1.0:
+            t, dt = time.get_current_time(), time.get_next_step_size()
+            _, bb0 = self._bc_values(self.adv_in, t)
+            _, bb1 = self._bc_values(self.adv_out, t)
+            bb0, u0, bb1, u1 = step(t, dt, (bb0, u0, bb1, u1))
+            err = self.postprocess(t + dt, u0, INSIDE)
+            err = self.postprocess(t + dt, u1, OUTSIDE)
+            time.advance_time()
+        return self.rows

@@ -205,8 +205,13 @@ class WaveProblem:
     def postprocess(self, t, u, location=INSIDE):
         op = self.op_in if location == INSIDE else self.op_out
         slot = 0 if location == INSIDE else 1
-        l2, l1, linf = (float(x) for x in op.error_norms(
-            u, self.params.exact_solution, t))
+        if not hasattr(self, "_err_jit"):
+            self._err_jit = {}
+        if slot not in self._err_jit:
+            self._err_jit[slot] = jax.jit(
+                lambda u, t, op=op: op.error_norms(
+                    u, self.params.exact_solution, t))
+        l2, l1, linf = (float(x) for x in self._err_jit[slot](u, t))
         counter = len(self.rows[slot])
         self.rows[slot].append((counter, t, l2, l1, linf))
         if self.verbose:
