@@ -367,7 +367,7 @@ class CutOperators:
         uw = u[windows]  # (n, m)
         return jnp.einsum("nij,nj->ni", mats, uw)
 
-    def mass_apply(self, u, gamma_M: float):
+    def mass_apply(self, u, gamma_M: float, gp_power: int = 3):
         """y = M_cut u  (cell mass over subdomain + GP + inactive identity)."""
         y = jnp.zeros_like(u)
         if len(self.full_ids):
@@ -381,7 +381,7 @@ class CutOperators:
             uq = jnp.einsum("nqi,ni->nq", V, uw)
             vw = jnp.einsum("nqi,nq,nq->ni", V, uq, w)
             y = self._scatter(y, jnp.asarray(self.w_cut), vw)
-        y = self._gp_apply(y, u, gamma_M * self.h_min**3)
+        y = self._gp_apply(y, u, gamma_M * self.h_min**gp_power)
         y = y + jnp.where(jnp.asarray(self.inactive), u, 0.0)
         return y
 
@@ -393,7 +393,8 @@ class CutOperators:
         vw = scale * jnp.einsum("fab,fb->fa", jnp.asarray(self.gp_mat), uw)
         return self._scatter(y, win, vw)
 
-    def stiffness_matrix_apply(self, u, gamma_A, nitsche_gamma, with_nitsche=True):
+    def stiffness_matrix_apply(self, u, gamma_A, nitsche_gamma, with_nitsche=True,
+                               gp_power: int = 3):
         """y = S_cut u: cell Laplace + Nitsche (interface) + GP h^3."""
         y = jnp.zeros_like(u)
         if len(self.full_ids):
@@ -410,7 +411,7 @@ class CutOperators:
             y = self._scatter(y, win, vw)
             if with_nitsche:
                 y = self._nitsche_matrix_apply(y, u, nitsche_gamma)
-        y = self._gp_apply(y, u, gamma_A * self.h_min**3)
+        y = self._gp_apply(y, u, gamma_A * self.h_min**gp_power)
         y = y + jnp.where(jnp.asarray(self.inactive), u, 0.0)
         return y
 
@@ -546,7 +547,7 @@ class CutOperators:
             linf = jnp.maximum(linf, jnp.max(jnp.where(mask, jnp.abs(d), 0.0)))
         return jnp.sqrt(l2), l1, linf
 
-    def mass_diagonal(self, gamma_M: float) -> np.ndarray:
+    def mass_diagonal(self, gamma_M: float, gp_power: int = 3) -> np.ndarray:
         """Host-side diagonal of the cut mass matrix (Jacobi precond)."""
         N = self.grid.n_nodes
         diag = np.zeros(N)
@@ -558,7 +559,7 @@ class CutOperators:
             d = np.einsum("nqi,nqi,nq->ni", self.V_cut, self.V_cut, self.vol_w)
             np.add.at(diag, self.w_cut.reshape(-1), d.reshape(-1))
         if len(self.gp_win):
-            scale = gamma_M * self.h_min**3
+            scale = gamma_M * self.h_min**gp_power
             d = scale * np.einsum("faa->fa", self.gp_mat)
             np.add.at(diag, self.gp_win.reshape(-1), d.reshape(-1))
         diag[self.inactive] += 1.0

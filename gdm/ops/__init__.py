@@ -5,3 +5,4 @@ from .tensor import (  # noqa: F401
     evaluate_at_quad,
     quad_points_1d,
 )
+from .fast import laplace_apply_fn, mass_apply_fn  # noqa: F401
