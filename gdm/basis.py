@@ -53,6 +53,30 @@ def cardinal_coefficients(p: int):
     return tuple(coeffs)
 
 
+@functools.lru_cache(maxsize=None)
+def category_coefficients_exact(p: int, category: int):
+    """Exact-rational ascending coefficients of the p+1 shape functions of
+    a category, as polynomials in xi (tuple of tuples of Fractions)."""
+    C = cardinal_coefficients(p)
+    n = p + 1
+    c = category
+    out = []
+    for m in range(n):
+        shifted = [Fraction(0)] * n
+        for k in range(n):
+            a = C[m][k]
+            if a == 0:
+                continue
+            binom = Fraction(1)
+            ck = Fraction(1)
+            for i in range(k + 1):
+                shifted[k - i] += a * binom * ck
+                binom = binom * (k - i) / (i + 1)
+                ck *= c
+        out.append(tuple(shifted))
+    return tuple(out)
+
+
 def category_coefficients(p: int, category: int) -> np.ndarray:
     """Monomial (ascending) float64 coefficients of the p+1 shape functions
     of a cell with the given per-axis category, as polynomials in the
@@ -61,28 +85,8 @@ def category_coefficients(p: int, category: int) -> np.ndarray:
     Matches reference include/gdm/fe.h tables (which store descending
     coefficients); shape function m here equals table row m.
     """
-    C = cardinal_coefficients(p)
-    n = p + 1
-    c = category
-    # L_m(c + xi): shift polynomial by c using binomial expansion (exact).
-    out = np.zeros((n, n), dtype=np.float64)
-    for m in range(n):
-        shifted = [Fraction(0)] * n
-        # sum_k a_k (xi + c)^k
-        for k in range(n):
-            a = C[m][k]
-            if a == 0:
-                continue
-            # (xi + c)^k expansion
-            binom = Fraction(1)
-            ck = Fraction(1)
-            # term xi^(k-i) * c^i * C(k, i)
-            for i in range(k + 1):
-                shifted[k - i] += a * binom * ck
-                binom = binom * (k - i) / (i + 1)
-                ck *= c
-        out[m] = [float(x) for x in shifted]
-    return out
+    exact = category_coefficients_exact(p, category)
+    return np.array([[float(x) for x in row] for row in exact])
 
 
 def _poly_eval(coeffs: np.ndarray, pts: np.ndarray, deriv: int) -> np.ndarray:

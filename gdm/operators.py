@@ -54,6 +54,20 @@ def advection(grid: Grid, velocity, nq: int = None) -> SeparableOperator:
     return SeparableOperator.from_banded(grid, terms)
 
 
+def lumped_mass_inverse_diagonal(grid: Grid, nq: int = None):
+    """Inverted row-sum (lumped) mass matrix as a diagonal field.
+
+    Parity with GDM::MatrixCreator::create_lumped_mass_matrix
+    (include/gdm/matrix_creator.h:64-117): diag[i] = 1 / sum_j M[i,j],
+    computed matrix-free as 1 / (M @ ones)."""
+    import jax.numpy as jnp
+
+    M = mass(grid, nq)
+    ones = jnp.ones(grid.field_shape)
+    row_sums = M.apply(ones)
+    return 1.0 / row_sums
+
+
 def elasticity(grid: Grid, nq: int = None) -> SeparableOperator:
     """2 (eps(v), eps(u)) for a dim-component displacement field.
 
