@@ -28,7 +28,16 @@ def _bands(grid: Grid, dtype):
     return bs, bm
 
 
-def laplace_apply_fn(grid: Grid, dtype=jnp.float32, use_pallas: str = "auto"):
+def laplace_apply_fn(grid: Grid, dtype=jnp.float32, use_pallas: str = None):
+    import os
+
+    if use_pallas is None:
+        # The fused Pallas kernel is the roofline path, but the remote
+        # TPU relay in this environment cannot compile Pallas kernels in
+        # reasonable time; opt in explicitly via GDM_ENABLE_PALLAS=1.
+        use_pallas = (
+            "auto" if os.environ.get("GDM_ENABLE_PALLAS") == "1" else "never"
+        )
     bs, bm = _bands(grid, dtype)
     dim = grid.dim
 
