@@ -111,6 +111,13 @@ class QuadratureGenerator:
         return self.Vinv @ nodal
 
     def _roots_in(self, coeffs_asc, lo, hi):
+        from .. import native
+
+        if native.available():
+            roots, counts = native.batched_real_roots(
+                np.asarray(coeffs_asc)[None], lo, hi, _ROOT_TOL
+            )
+            return roots[0, : counts[0]]
         c = np.trim_zeros(coeffs_asc[::-1], "f")
         if len(c) <= 1:
             return np.empty(0)
