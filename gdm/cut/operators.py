@@ -157,6 +157,30 @@ class CutOperators:
         # ---- intersected cells -------------------------------------------
         cut_ids = geo.cut_cells
         self.cut_ids = cut_ids
+        m = (p + 1) ** dim
+        if len(cut_ids) == 0:
+            self.w_cut = np.zeros((0, m), dtype=np.int32)
+            self.vol_pts = np.zeros((0, 1, dim))
+            self.vol_w = np.zeros((0, 1))
+            self.V_cut = np.zeros((0, 1, m))
+            self.G_cut = np.zeros((0, 1, dim, m))
+            self.cut_phys_q = np.zeros((0, 1, dim))
+            self.surf_pts = np.zeros((0, 1, dim))
+            self.surf_w = np.zeros((0, 1))
+            self.surf_n = np.zeros((0, 1, dim))
+            self.V_surf = np.zeros((0, 1, m))
+            self.G_surf = np.zeros((0, 1, dim, m))
+            self.surf_phys_q = np.zeros((0, 1, dim))
+            self.nvol = np.zeros(0, dtype=np.int64)
+            self.nsurf = np.zeros(0, dtype=np.int64)
+            self._build_gp(geo.ghost_penalty_faces(location))
+            active = np.zeros(grid.n_nodes, dtype=bool)
+            if len(self.w_full):
+                active[self.w_full.reshape(-1)] = True
+            self.inactive = ~active
+            self._build_boundary_faces(loc_flat, inverse)
+            self._dev = None
+            return
         self.w_cut = windows_c_order(grid, cut_ids)
         cats_cut = cell_axis_categories(grid, cut_ids)
         side_attr = "inside" if location == INSIDE else "outside"
