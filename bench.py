@@ -85,12 +85,17 @@ def main():
     from gdm.ops import laplace_apply_fn
 
     results = {}
-    for n in (1024, 2048):
-        grid = Grid(3, (n, n), (0.0, 0.0), (1.0, 1.0))
+    for key, p, cells in (
+        (1024, 3, (1024, 1024)),
+        (2048, 3, (2048, 2048)),
+        ("p5_1024", 5, (1024, 1024)),
+        ("p3_3d_160", 3, (160, 160, 160)),
+    ):
+        grid = Grid(p, cells, (0.0,) * len(cells), (1.0,) * len(cells))
         apply_fn = laplace_apply_fn(grid, dtype=jnp.float32, use_pallas="never")
-        u = jnp.ones((n + 1, n + 1), jnp.float32)
-        dt = time_matvec(apply_fn, u, 1000)
-        results[n] = (n + 1) ** 2 / dt
+        u = jnp.ones(grid.nodes, jnp.float32)
+        dt = time_matvec(apply_fn, u, 300)
+        results[key] = grid.n_nodes / dt
 
     pallas = None
     if jax.devices()[0].platform in ("tpu", "axon"):
@@ -128,6 +133,8 @@ def main():
         "extra": {
             "matvec_2048_dof_per_s": best_2048,
             "xla_1024_dof_per_s": results[1024],
+            "matvec_p5_2d_1024_dof_per_s": results["p5_1024"],
+            "matvec_p3_3d_160_dof_per_s": results["p3_3d_160"],
             "pallas_dof_per_s": pallas,
             "cg100_1024_s": cg_time,
             "cg_iterations": int(info["iterations"]),
