@@ -220,40 +220,44 @@ class QuadratureGenerator:
                 continue
             base_pts.extend(a_ + self.gx * (b_ - a_))
             base_ws.extend(self.gw * (b_ - a_))
+        # ---- phase 1: root-find all lines and check the tangency guard
+        # BEFORE accumulating anything, so a bisect can restart the whole
+        # box without double-counting already-emitted points.
+        lines = []  # (coord_b, wq, cpoly, roots, grads_ref (nroots, dim))
+        tangent = False
         for coord_b, wq in zip(base_pts, base_ws):
-            coords = {b: coord_b}
-            cpoly = self._poly_on_line(cell_idx, k, coords)
+            cpoly = self._poly_on_line(cell_idx, k, {b: coord_b})
             roots = self._roots_in(cpoly, lo[k], hi[k])
-            breaks = np.concatenate([[lo[k]], roots, [hi[k]]])
-            # near-tangency guard: derivative at roots too small -> bisect
+            grads_ref = np.zeros((len(roots), dim))
             if len(roots):
-                dpoly = cpoly[1:] * np.arange(1, len(cpoly))
-                dvals = np.polyval(dpoly[::-1], roots)
-                pt_list = []
-                for r, dv in zip(roots, dvals):
-                    pt = np.empty(dim)
-                    pt[k] = r
-                    for d in base_axes:
-                        pt[d] = coords[d]
-                    pt_list.append(pt)
+                pt_list = np.empty((len(roots), dim))
+                pt_list[:, k] = roots
+                pt_list[:, b] = coord_b
                 grads_ref = np.stack(
                     [
                         self.ls.eval_cell(
-                            cell_idx,
-                            np.array(pt_list),
+                            cell_idx, pt_list,
                             tuple(1 if e == d else 0 for e in range(dim)),
                         )
                         for d in range(dim)
                     ],
                     axis=-1,
-                )  # (nroots, dim) reference grads
+                )
                 if np.any(
-                    np.abs(grads_ref[:, k]) < 1e-8 * np.linalg.norm(grads_ref, axis=1)
+                    np.abs(grads_ref[:, k])
+                    < 1e-8 * np.linalg.norm(grads_ref, axis=1)
                 ):
-                    if depth < self.max_depth:
-                        self._bisect(cell_idx, lo, hi, depth, acc)
-                        return
-            # volume parts
+                    tangent = True
+            lines.append((coord_b, wq, cpoly, roots, grads_ref))
+        if tangent and depth < self.max_depth:
+            self._bisect(cell_idx, lo, hi, depth, acc)
+            return
+
+        # ---- phase 2: accumulate volume and surface contributions
+        h = np.asarray(self.grid.h)
+        w_base_fac = np.prod([h[d] for d in base_axes])
+        for coord_b, wq, cpoly, roots, grads_ref in lines:
+            breaks = np.concatenate([[lo[k]], roots, [hi[k]]])
             for ia, ib in zip(breaks[:-1], breaks[1:]):
                 if ib - ia < _ROOT_TOL:
                     continue
@@ -263,35 +267,23 @@ class QuadratureGenerator:
                 for sx, sw in zip(sub_pts, self.gw * (ib - ia)):
                     pt = np.empty(dim)
                     pt[k] = sx
-                    for d in base_axes:
-                        pt[d] = coords[d]
+                    pt[b] = coord_b
                     key = "i" if side == INSIDE else "o"
                     acc[key + "p"].append(pt)
                     acc[key + "w"].append(wq * sw)
-            # surface parts
-            h = np.asarray(self.grid.h)
-            for r in roots:
-                pt = np.empty(dim)
-                pt[k] = r
-                for d in base_axes:
-                    pt[d] = coords[d]
-                gref = np.array(
-                    [
-                        self.ls.eval_cell(
-                            cell_idx,
-                            pt[None, :],
-                            tuple(1 if e == d else 0 for e in range(dim)),
-                        )[0]
-                        for d in range(dim)
-                    ]
-                )
+            for r, gref in zip(roots, grads_ref):
                 gphys = gref / h
                 norm = np.linalg.norm(gphys)
-                # physical base measure of this quadrature combo:
-                w_base_phys = wq * np.prod([h[d] for d in base_axes])
-                w_surf = w_base_phys * norm / abs(gphys[k])
+                if abs(gphys[k]) < 1e-8 * norm:
+                    # near-tangent root at max recursion depth: dropping it
+                    # loses a (tiny-base-measure) sliver of surface instead
+                    # of injecting an unbounded 1/|d_k psi| weight.
+                    continue
+                pt = np.empty(dim)
+                pt[k] = r
+                pt[b] = coord_b
                 acc["sp"].append(pt)
-                acc["sw"].append(w_surf)
+                acc["sw"].append(wq * w_base_fac * norm / abs(gphys[k]))
                 acc["sn"].append(gphys / norm)
 
     def _box_1d(self, cell_idx, lo, hi, acc):

@@ -141,7 +141,6 @@ class CutOperators:
         self.w_q = np.multiply.reduce([m.reshape(-1) for m in wmesh]) * np.prod(
             grid.h
         )  # (Q,) physical
-        cats_all = np.stack([np.full(len(full_ids), 0)], axis=0)
         self.V_full_cat = np.stack(
             [
                 basis_at_points(
@@ -307,13 +306,21 @@ class CutOperators:
         gx, gw = quadrature.gauss(self.nq)
         items = []  # (cell_flat, V (Qb,m), G (Qb,dim,m), w (Qb,), normal(dim,), phys (Qb,dim))
         want_neg = self.location == INSIDE
+        from .geometry import QuadratureGenerator, _flatten
+
+        qg = QuadratureGenerator(geo.ls, self.nq)
+        Vinv_ls = np.linalg.inv(
+            np.vander(np.asarray(geo.ls.nodes), geo.ls.q, increasing=True))
         for d in range(dim):
             for side in (0, 1):
-                # cells on this boundary
-                for flat in range(grid.n_cells):
-                    idx = _unflatten(flat, grid.cells)
-                    if idx[d] != (0 if side == 0 else grid.cells[d] - 1):
-                        continue
+                # enumerate only the cells on this boundary plane
+                other_ranges = [range(grid.cells[e]) if e != d else
+                                [0 if side == 0 else grid.cells[d] - 1]
+                                for e in range(dim)]
+                import itertools as _it
+
+                for idx in _it.product(*other_ranges):
+                    flat = _flatten(list(idx), grid.cells)
                     if loc_flat[flat] == inverse:
                         continue
                     face_coord = 0.0 if side == 0 else 1.0
@@ -329,14 +336,7 @@ class CutOperators:
                         tang = [e for e in range(dim) if e != d][0]
                         # polynomial along the face
                         nodal = geo.ls.line_nodal(idx, tang, {d: face_coord})
-                        gen_V = np.linalg.inv(
-                            np.vander(np.asarray(geo.ls.nodes), geo.ls.q,
-                                      increasing=True)
-                        )
-                        coeffs = gen_V @ nodal
-                        from .geometry import QuadratureGenerator
-
-                        qg = QuadratureGenerator(geo.ls, self.nq)
+                        coeffs = Vinv_ls @ nodal
                         roots = qg._roots_in(coeffs, 0.0, 1.0)
                         breaks = np.concatenate([[0.0], roots, [1.0]])
                         ppts, ww = [], []
@@ -456,8 +456,7 @@ class CutOperators:
 
     # -- matrix-free RHS (explicit path) --------------------------------
     def compute_rhs(self, u, t, impl: bool, rhs_fn=None, interface_dbc=None,
-                    domain_dbc=None, gamma_A=0.0, nitsche_gamma=0.0,
-                    coupling_u_other=None, coupling_tau=None):
+                    domain_dbc=None, gamma_A=0.0, nitsche_gamma=0.0):
         """Reference compute_rhs_internal (wave stiffness.h:42-407).
 
         Returns the assembled RHS vector.  Functions are called as

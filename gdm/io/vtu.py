@@ -90,11 +90,9 @@ class DataOut:
                 for i in range(d):
                     cells.append([base + i, base + i + 1])
             elif dim == 2:
+                # lattice flat index (meshgrid ij, C-order): i0*(d+1) + i1
                 for j in range(d):
                     for i in range(d):
-                        a = base + i * (d + 1) + j  # ij indexing: i fast? ref uses meshgrid ij
-                        # lattice flat index: ref = meshgrid(ij) flattened C-order:
-                        # index = i0*(d+1) + i1
                         a = base + i * (d + 1) + j
                         cells.append([
                             a, a + (d + 1), a + (d + 1) + 1, a + 1
@@ -112,7 +110,10 @@ class DataOut:
         pts, cells, point_data, cell_data = self._patches()
         n_pts = len(pts)
         n_cells = len(cells)
-        vtk_type = {2: 3, 4: 9, 8: 12}[cells.shape[1]]
+        verts_per_cell = cells.shape[1] if cells.ndim == 2 else \
+            {1: 2, 2: 4, 3: 8}[self.grid.dim]
+        cells = cells.reshape(n_cells, verts_per_cell)
+        vtk_type = {2: 3, 4: 9, 8: 12}[verts_per_cell]
         with open(path, "w") as f:
             f.write('<?xml version="1.0"?>\n')
             f.write('<VTKFile type="UnstructuredGrid" version="0.1" '

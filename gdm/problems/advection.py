@@ -274,7 +274,6 @@ class AdvectionProblem:
             bb0, u0, bb1, u1 = y
             _, dbb0 = self._bc_der(self.adv_in, t)
             _, dbb1 = self._bc_der(self.adv_out, t)
-            zero_s = jnp.zeros((0, 1))
             r0 = self.adv_in.compute_rhs(u0, None, bb0, pp.ghost_parameter_A,
                                          u_other=u1)
             r1 = self.adv_out.compute_rhs(u1, None, bb1, pp.ghost_parameter_A,

@@ -330,8 +330,8 @@ class WaveProblem:
                   jnp.zeros(self.grid.n_nodes))
 
         step = jax.jit(lambda t, dt, y: timestepping.rk_step(f, t, dt, y))
-        sol = self._time_loop(step, y0, delta_t,
-                              extract=lambda y: y if heat else y[0])
+        self._time_loop(step, y0, delta_t,
+                        extract=(lambda y: y) if heat else (lambda y: y[0]))
 
     def _run_explicit_composite(self, heat: bool):
         pp = self.params
@@ -357,7 +357,6 @@ class WaveProblem:
                 return (solves[0](r0), solves[1](r1))
             y0 = (self.interpolate_exact(pp.start_t),
                   self.interpolate_exact(pp.start_t))
-            extract = None
         else:
             def f(t, y):
                 u0, u1, v0, v1 = y
@@ -366,7 +365,6 @@ class WaveProblem:
             z = jnp.zeros(self.grid.n_nodes)
             y0 = (self.interpolate_exact(pp.start_t),
                   self.interpolate_exact(pp.start_t), z, z)
-            extract = None
 
         step = jax.jit(lambda t, dt, y: timestepping.rk_step(f, t, dt, y))
 

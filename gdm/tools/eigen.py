@@ -71,12 +71,18 @@ def build_ev_operators(fe_degree: int = 5, n_subdivisions_1D: int = 100,
                        dim: int = 1):
     """Replicates wave-ev's parameter derivation (wave-ev.cc:146-297):
     --alpha places the interface at fraction alpha inside its cell by
-    adjusting the radius and shrinking the domain to the relevant cells;
-    --align corresponds to alpha=0 (interface on a node)."""
-    if align:
-        alpha = 0.0
+    adjusting the radius; --alpha with --align snaps the interface onto
+    the domain boundary nodes (the reference achieves this with a
+    degenerate clamping mapping + radius=2.0 so nothing is cut; here the
+    equivalent is the shrunk body-fitted domain with an all-inside level
+    set)."""
     h = 1.21 / (n_subdivisions_1D / 2)
-    if alpha >= 0.0:
+    if (alpha >= 0.0) and align:
+        # body-fitted reference point: domain shrinks to the cells covered
+        # by the (snapped) radius, and nothing is cut
+        n_rel = int(2 * np.floor(radius / h))
+        radius = 2.0  # level set strictly negative on the domain
+    elif alpha >= 0.0:
         n_rel = int(2 * np.floor(radius / h))
         radius = h * (n_rel / 2 - alpha)
         n_rel = n_subdivisions_1D
