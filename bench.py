@@ -118,6 +118,22 @@ def main():
     x.block_until_ready()
     cg_time = time.time() - t0
 
+    # end-to-end flagship step: 2D cut wave RK4 (4 stages x mass-CG +
+    # matrix-free cut stiffness RHS), f32, 128^2
+    import __graft_entry__
+
+    step, args = __graft_entry__.entry(n=128)
+    jstep = jax.jit(step)
+    out = jstep(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    iters_w = 20
+    state = args[2:]
+    for _ in range(iters_w):
+        state = jstep(args[0], args[1], *state)
+    jax.block_until_ready(state)
+    wave_step_s = (time.time() - t0) / iters_w
+
     best_1024 = max(results[1024], (pallas or {}).get(1024, 0.0))
     best_2048 = max(results[2048], (pallas or {}).get(2048, 0.0))
     target = TARGET_FRACTION * HBM_BYTES_PER_S / IDEAL_BYTES_PER_DOF
@@ -138,6 +154,7 @@ def main():
             "pallas_dof_per_s": pallas,
             "cg100_1024_s": cg_time,
             "cg_iterations": int(info["iterations"]),
+            "cut_wave_rk4_step_128_s": wave_step_s,
             "vs_vpu_compute_bound_2048": best_2048 / vpu_bound_dofs,
         },
     }))
