@@ -46,20 +46,14 @@ def main(argv=None):
     problem.run()
 
     if write_vtu:
-        import numpy as np
+        from gdm.problems.wave import write_solution_vtu
+        from gdm.cut.geometry import INSIDE, OUTSIDE
 
-        from gdm.io import DataOut
-        from gdm.cut.geometry import OUTSIDE
-
-        # final-state output mirroring problem.h:617-657
-        u = problem.interpolate_exact(params.end_t)
-        out = DataOut(problem.grid, params.output_fe_degree)
-        out.add_data_vector(np.asarray(u), "analytical_solution")
-        out.add_cell_data(
-            np.zeros(problem.grid.n_cells), "ranks")
-        out.set_cell_selection(problem.geo.locations_flat != OUTSIDE)
-        out.write_vtu("solution_i_final.vtu")
+        write_solution_vtu(problem, "solution_i_final.vtu", INSIDE)
         print("wrote solution_i_final.vtu")
+        if params.composite:
+            write_solution_vtu(problem, "solution_o_final.vtu", OUTSIDE)
+            print("wrote solution_o_final.vtu")
     return 0
 
 

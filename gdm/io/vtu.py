@@ -67,10 +67,10 @@ class DataOut:
         lo = np.stack(
             [grid.lower[e] + idx[:, e] * grid.h[e] for e in range(dim)], -1)
         pts = lo[:, None, :] + ref[None] * np.asarray(grid.h)[None, None, :]
-        if dim == 1:
-            pts = np.concatenate([pts, np.zeros_like(pts)], axis=-1)
-        elif dim == 2:
-            pts = np.concatenate([pts, np.zeros(pts.shape[:-1] + (1,))], -1)
+        if dim < 3:
+            pts = np.concatenate(
+                [pts, np.zeros(pts.shape[:-1] + (3 - dim,))], axis=-1
+            )
         point_data = {}
         for name, f in self.fields.items():
             comps = []

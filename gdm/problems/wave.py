@@ -264,6 +264,7 @@ class WaveProblem:
             return x
 
         u = solve()
+        self.final_solution = u
         self.postprocess(0.0, u)
 
     def _stiffness_diag(self) -> np.ndarray:
@@ -330,8 +331,9 @@ class WaveProblem:
                   jnp.zeros(self.grid.n_nodes))
 
         step = jax.jit(lambda t, dt, y: timestepping.rk_step(f, t, dt, y))
-        self._time_loop(step, y0, delta_t,
-                        extract=(lambda y: y) if heat else (lambda y: y[0]))
+        y = self._time_loop(step, y0, delta_t,
+                            extract=(lambda y: y) if heat else (lambda y: y[0]))
+        self.final_solution = y if heat else y[0]
 
     def _run_explicit_composite(self, heat: bool):
         pp = self.params
@@ -378,6 +380,7 @@ class WaveProblem:
             self.postprocess(t + dt, y[0], INSIDE)
             self.postprocess(t + dt, y[1], OUTSIDE)
             time.advance_time()
+        self.final_solution = y[:2]
 
     def _run_heat_impl(self):
         pp = self.params
@@ -428,6 +431,7 @@ class WaveProblem:
             u = steps[dt](t + dt, u)
             self.postprocess(t + dt, u)
             time.advance_time()
+        self.final_solution = u
 
     def _time_loop(self, step, y0, delta_t, extract):
         pp = self.params
@@ -440,6 +444,31 @@ class WaveProblem:
             self.postprocess(t + dt, extract(y))
             time.advance_time()
         return y
+
+
+def write_solution_vtu(problem: "WaveProblem", path: str, location=INSIDE):
+    """VTU of the final solution + analytical field over the subdomain
+    (reference problem.h:617-657)."""
+    import numpy as np
+
+    from ..cut.geometry import OUTSIDE as _OUT, INSIDE as _IN
+    from ..io import DataOut
+
+    pp = problem.params
+    sol = problem.final_solution
+    if isinstance(sol, tuple):
+        sol = sol[0 if location == _IN else 1]
+    out = DataOut(problem.grid, pp.output_fe_degree)
+    out.add_data_vector(np.asarray(sol), "solution")
+    ana = problem.interpolate_exact(pp.end_t)
+    out.add_data_vector(np.asarray(ana), "analytical_solution")
+    mesh = problem.grid.node_coords_mesh()
+    ls_vals = pp.level_set_function(mesh)
+    out.add_data_vector(np.asarray(ls_vals).reshape(-1), "level_set")
+    out.add_cell_data(np.zeros(problem.grid.n_cells), "ranks")
+    inverse = _OUT if location == _IN else _IN
+    out.set_cell_selection(problem.geo.locations_flat != inverse)
+    out.write_vtu(path)
 
 
 def _interface_coupling(op_in: CutOperators, r0, r1, u0, u1, tau):
