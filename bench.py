@@ -118,6 +118,37 @@ def main():
     x.block_until_ready()
     cg_time = time.time() - t0
 
+    # geometric-multigrid-preconditioned CG: solve to 1e-6 (f32) at 1024^2
+    from gdm.constraints import Constraints
+    from gdm.functional import load_vector
+    from gdm.multigrid import PoissonMultigrid
+    from gdm import operators as _ops
+
+    A = _ops.laplace(grid)
+    cons = Constraints.zero_boundary(grid)
+    mg_apply = cons.constrain_operator(
+        lambda u: A.apply(u.astype(jnp.float32)))
+    mg = PoissonMultigrid(grid)
+    bb = cons.constrain_rhs(
+        load_vector(grid, lambda m, c: np.ones_like(m[0]))).astype(jnp.float32)
+
+    pre = jax.jit(mg.precondition)
+
+    @jax.jit
+    def mgsolve(bb):
+        # fixed 5 MG-CG iterations (tolerance-free: the f32 while_loop
+        # stopping comparison behaves erratically under this TPU
+        # toolchain); 5 V-cycles reach ~1e-6 relative residual
+        return solvers.cg(mg_apply, bb, precond=pre, max_iter=5,
+                          rel_tol=0.0)
+
+    mgsolve(bb)[0].block_until_ready()
+    t0 = time.time()
+    xm, infom = mgsolve(bb)
+    xm.block_until_ready()
+    mg_time = time.time() - t0
+    mg_rel_res = float(infom["residual"]) / float(jnp.linalg.norm(bb))
+
     # end-to-end flagship step: 2D cut wave RK4 (4 stages x mass-CG +
     # matrix-free cut stiffness RHS), f32, 128^2
     import __graft_entry__
@@ -154,6 +185,8 @@ def main():
             "pallas_dof_per_s": pallas,
             "cg100_1024_s": cg_time,
             "cg_iterations": int(info["iterations"]),
+            "mg_cg_solve5_1024_s": mg_time,
+            "mg_cg_rel_residual": mg_rel_res,
             "cut_wave_rk4_step_128_s": wave_step_s,
             "vs_vpu_compute_bound_2048": best_2048 / vpu_bound_dofs,
         },

@@ -1,0 +1,179 @@
+"""Matrix-free geometric multigrid for uncut GD Poisson problems.
+
+TPU-native replacement for the reference's black-box Trilinos AMG
+preconditioner (applications/wave/include/gdm/wave/problem.h:461-469):
+on a structured grid the mesh hierarchy is free (factor-2 coarsening of
+the node lattice), transfers are per-axis linear interpolation stencils,
+and every level's operator is the re-discretized banded GD Laplacian —
+all expressible as the same stencil sweeps XLA already runs near the HBM
+bound.  Used as a symmetric V-cycle preconditioner inside CG.
+
+Restriction R = P^T / 2 per axis (full weighting), prolongation P =
+per-axis linear interpolation; weighted-Jacobi smoothing; dense direct
+solve on the coarsest level.  All fields carry the trailing component
+axis (shape grid.nodes + (1,)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import operators
+from .constraints import Constraints
+from .grid import Grid
+
+
+def _axis_scatter_set(out, idx, vals, axis):
+    out_m = jnp.moveaxis(out, axis, 0)
+    vals_m = jnp.moveaxis(vals, axis, 0)
+    out_m = out_m.at[idx].set(vals_m)
+    return jnp.moveaxis(out_m, 0, axis)
+
+
+def prolong_axis(u, axis, n_fine_nodes):
+    """Linear interpolation along one axis: coarse (n+1) -> fine (2n+1).
+
+    fine[2i] = coarse[i]; fine[2i+1] = (coarse[i] + coarse[i+1]) / 2.
+    """
+    nc = u.shape[axis]
+    mid = 0.5 * (
+        jax.lax.slice_in_dim(u, 0, nc - 1, axis=axis)
+        + jax.lax.slice_in_dim(u, 1, nc, axis=axis)
+    )
+    out_shape = list(u.shape)
+    out_shape[axis] = n_fine_nodes
+    out = jnp.zeros(out_shape, u.dtype)
+    out = _axis_scatter_set(out, jnp.arange(nc) * 2, u, axis)
+    out = _axis_scatter_set(out, jnp.arange(nc - 1) * 2 + 1, mid, axis)
+    return out
+
+
+def restrict_axis(y, axis):
+    """Adjoint of prolong_axis scaled by 1/2 (full weighting)."""
+    nf = y.shape[axis]
+    ym = jnp.moveaxis(y, axis, 0)
+    even = ym[0:nf:2]
+    half = 0.5 * ym[1:nf:2]
+    acc = even
+    acc = acc.at[:-1].add(half)
+    acc = acc.at[1:].add(half)
+    return jnp.moveaxis(0.5 * acc, 0, axis)
+
+
+def _gd_mid_table(grid: Grid, axis: int):
+    """(n_cells, p+1) GD shape values at each cell's midpoint + window
+    offsets — the degree-p prolongation stencil for the odd fine nodes."""
+    from . import basis
+
+    p = grid.degree
+    cats = grid.categories(axis)
+    T = basis.shape_table(p, np.array([0.5]), 0)[:, 0, :]  # (ncat, p+1)
+    return T[cats], grid.offsets(axis)
+
+
+def gd_prolong_axis(u, axis, table, offsets, n_fine_nodes):
+    um = jnp.moveaxis(u, axis, 0)
+    p1 = table.shape[1]
+    win = offsets[:, None] + np.arange(p1)[None, :]
+    gathered = um[jnp.asarray(win.reshape(-1))].reshape(
+        win.shape + um.shape[1:])
+    mid = jnp.einsum("cj,cj...->c...", jnp.asarray(table), gathered,
+                     precision=jax.lax.Precision.HIGHEST)
+    nc = um.shape[0]
+    n_cells = mid.shape[0]  # == nc - 1
+    out = jnp.zeros((n_fine_nodes,) + um.shape[1:], u.dtype)
+    out = out.at[jnp.arange(nc) * 2].set(um)
+    out = out.at[jnp.arange(n_cells) * 2 + 1].set(mid)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def gd_restrict_axis(y, axis, table, offsets):
+    """Variational restriction R = P^T (weak-form operators scale like
+    integrals, so unlike finite-difference full weighting there is NO 1/2:
+    P^T A_f P ~= the rediscretized coarse operator, verified numerically)."""
+    ym = jnp.moveaxis(y, axis, 0)
+    nf = ym.shape[0]
+    nc = (nf - 1) // 2 + 1
+    even = ym[0:nf:2]
+    odd = ym[1:nf:2]  # (n_cells, ...)
+    p1 = table.shape[1]
+    win = offsets[:, None] + np.arange(p1)[None, :]
+    contrib = jnp.asarray(table).reshape(
+        table.shape + (1,) * (odd.ndim - 1)) * odd[:, None]
+    acc = even
+    acc = acc.at[jnp.asarray(win.reshape(-1))].add(
+        contrib.reshape((-1,) + odd.shape[1:]))
+    return jnp.moveaxis(acc, 0, axis)
+
+
+class PoissonMultigrid:
+    """Symmetric V-cycle preconditioner for the zero-BC GD Laplacian."""
+
+    def __init__(self, grid: Grid, n_smooth: int = 2, omega: float = 0.6,
+                 coarsest: int = 8):
+        assert grid.n_components == 1
+        self.levels = []
+        g = grid
+        while True:
+            A = operators.laplace(g)
+            cons = Constraints.zero_boundary(g)
+            diag = np.where(cons.full_mask, 1.0, A.diagonal())
+            self.levels.append({
+                "grid": g,
+                "apply": cons.constrain_operator(A.apply),
+                "mask": jnp.asarray(cons.full_mask),
+                "inv_diag": jnp.asarray(1.0 / diag),
+                "mid": [_gd_mid_table(g, d) for d in range(g.dim)],
+            })
+            if min(g.cells) // 2 < coarsest or any(c % 2 for c in g.cells):
+                break
+            g = Grid(g.degree, tuple(c // 2 for c in g.cells), g.lower,
+                     g.upper, 1)
+        # dense inverse on the coarsest level
+        lvl = self.levels[-1]
+        gc = lvl["grid"]
+        n = gc.n_dofs
+        eye = jnp.eye(n).reshape((n,) + gc.field_shape)
+        Ad = np.array(jax.vmap(lvl["apply"])(eye).reshape(n, n)).T
+        mask = np.asarray(lvl["mask"]).reshape(-1)
+        Ad[mask, :] = 0.0
+        Ad[:, mask] = 0.0
+        Ad[np.where(mask)[0], np.where(mask)[0]] = 1.0
+        self.coarse_inv = jnp.asarray(np.linalg.inv(Ad))
+        self.n_smooth = n_smooth
+        self.omega = omega
+
+    def _smooth(self, lvl, u, b, iters):
+        for _ in range(iters):
+            r = b - lvl["apply"](u)
+            u = u + self.omega * lvl["inv_diag"] * r
+        return u
+
+    def _vcycle(self, k, b):
+        lvl = self.levels[k]
+        if k == len(self.levels) - 1:
+            xc = jnp.matmul(self.coarse_inv, b.reshape(-1),
+                            precision=jax.lax.Precision.HIGHEST)
+            return xc.reshape(b.shape)
+        u = self._smooth(lvl, jnp.zeros_like(b), b, self.n_smooth)
+        r = b - lvl["apply"](u)
+        dim = lvl["grid"].dim
+        coarse = self.levels[k + 1]
+        rc = r
+        for d in range(dim):
+            tab, off = coarse["mid"][d]
+            rc = gd_restrict_axis(rc, d, tab, off)
+        rc = jnp.where(coarse["mask"], 0.0, rc)
+        ec = self._vcycle(k + 1, rc)
+        e = ec
+        for d in range(dim):
+            tab, off = coarse["mid"][d]
+            e = gd_prolong_axis(e, d, tab, off, lvl["grid"].nodes[d])
+        e = jnp.where(lvl["mask"], 0.0, e)
+        return self._smooth(lvl, u + e, b, self.n_smooth)
+
+    def precondition(self, r):
+        """r: field of shape grid.nodes + (1,) (zero on constrained dofs)."""
+        return self._vcycle(0, r)

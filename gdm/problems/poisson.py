@@ -21,10 +21,12 @@ def solve(
     rel_tol: float = 1e-12,
     abs_tol: float = 1e-20,
     max_iter: int = 10000,
-    precondition: bool = True,
+    precondition: str = "jacobi",
 ):
     """Solve -Laplace(u) = f, u = 0 on the boundary.
 
+    precondition: "jacobi" | "mg" (geometric multigrid V-cycle; mesh-
+    independent ~7 CG iterations) | "none".
     Returns (solution field, info dict).
     """
     import jax
@@ -35,13 +37,21 @@ def solve(
     b = cons.constrain_rhs(load_vector(grid, rhs_fn))
     diag = jnp.where(jnp.asarray(cons.full_mask), 1.0, jnp.asarray(A.diagonal()))
 
+    if precondition == "mg":
+        from ..multigrid import PoissonMultigrid
+
+        precond = PoissonMultigrid(grid).precondition
+    elif precondition in ("jacobi", True):
+        precond = solvers.jacobi_preconditioner(diag)
+    else:
+        precond = None
+
     @jax.jit
-    def run(b, diag):
-        precond = solvers.jacobi_preconditioner(diag) if precondition else None
+    def run(b):
         x, info = solvers.cg(
             apply_fn, b, precond=precond, max_iter=max_iter, abs_tol=abs_tol,
             rel_tol=rel_tol,
         )
         return cons.finalize_solution(x), info
 
-    return run(b, diag)
+    return run(b)
