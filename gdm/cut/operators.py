@@ -570,6 +570,37 @@ class CutOperators:
             linf = jnp.maximum(linf, jnp.max(jnp.where(mask, jnp.abs(d), 0.0)))
         return jnp.sqrt(l2), l1, linf
 
+    def stiffness_diagonal(self, gamma_A: float, nitsche_gamma: float,
+                           with_nitsche: bool = True,
+                           gp_power: int = 3) -> np.ndarray:
+        """Host-side diagonal of the cut stiffness matrix (Jacobi)."""
+        N = self.grid.n_nodes
+        diag = np.zeros(N)
+        if len(self.full_ids):
+            mats = self.A_stiff[self.cat_full]
+            np.add.at(diag, self.w_full.reshape(-1),
+                      np.einsum("nii->ni", mats).reshape(-1))
+        if len(self.cut_ids):
+            d = np.einsum("nqdi,nqdi,nq->ni", self.G_cut, self.G_cut,
+                          self.vol_w)
+            np.add.at(diag, self.w_cut.reshape(-1), d.reshape(-1))
+            if with_nitsche:
+                Gn = np.einsum("nqdi,nqd->nqi", self.G_surf, self.surf_n)
+                d = np.einsum(
+                    "nqi,nqi,nq->ni",
+                    (nitsche_gamma / self.h_min) * self.V_surf - 2 * Gn,
+                    self.V_surf, self.surf_w)
+                np.add.at(diag, self.w_cut.reshape(-1), d.reshape(-1))
+        if len(self.gp_win):
+            scale = gamma_A * self.h_min**gp_power
+            d = scale * np.einsum("faa->fa", self.gp_mat)
+            np.add.at(diag, self.gp_win.reshape(-1), d.reshape(-1))
+        diag[self.inactive] += 1.0
+        # guard: Nitsche sign structure can make near-degenerate cut-cell
+        # diagonals non-positive
+        diag[diag <= 0] = 1.0
+        return diag
+
     def mass_diagonal(self, gamma_M: float, gp_power: int = 3) -> np.ndarray:
         """Host-side diagonal of the cut mass matrix (Jacobi precond)."""
         N = self.grid.n_nodes

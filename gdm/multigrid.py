@@ -8,10 +8,13 @@ and every level's operator is the re-discretized banded GD Laplacian —
 all expressible as the same stencil sweeps XLA already runs near the HBM
 bound.  Used as a symmetric V-cycle preconditioner inside CG.
 
-Restriction R = P^T / 2 per axis (full weighting), prolongation P =
-per-axis linear interpolation; weighted-Jacobi smoothing; dense direct
-solve on the coarsest level.  All fields carry the trailing component
-axis (shape grid.nodes + (1,)).
+Prolongation P = the GD degree-p interpolant evaluated at coarse-cell
+midpoints (one-sided stencils near boundaries); restriction is the
+variational adjoint R = P^T (weak-form operators carry the h scaling, so
+no finite-difference 1/2); weighted-Jacobi smoothing; dense direct solve
+on the coarsest level.  All fields carry the trailing component axis
+(shape grid.nodes + (1,)).  Requires power-of-two-friendly cell counts:
+each level halves the per-axis cell count while it stays even.
 """
 
 from __future__ import annotations
@@ -23,43 +26,6 @@ import jax.numpy as jnp
 from . import operators
 from .constraints import Constraints
 from .grid import Grid
-
-
-def _axis_scatter_set(out, idx, vals, axis):
-    out_m = jnp.moveaxis(out, axis, 0)
-    vals_m = jnp.moveaxis(vals, axis, 0)
-    out_m = out_m.at[idx].set(vals_m)
-    return jnp.moveaxis(out_m, 0, axis)
-
-
-def prolong_axis(u, axis, n_fine_nodes):
-    """Linear interpolation along one axis: coarse (n+1) -> fine (2n+1).
-
-    fine[2i] = coarse[i]; fine[2i+1] = (coarse[i] + coarse[i+1]) / 2.
-    """
-    nc = u.shape[axis]
-    mid = 0.5 * (
-        jax.lax.slice_in_dim(u, 0, nc - 1, axis=axis)
-        + jax.lax.slice_in_dim(u, 1, nc, axis=axis)
-    )
-    out_shape = list(u.shape)
-    out_shape[axis] = n_fine_nodes
-    out = jnp.zeros(out_shape, u.dtype)
-    out = _axis_scatter_set(out, jnp.arange(nc) * 2, u, axis)
-    out = _axis_scatter_set(out, jnp.arange(nc - 1) * 2 + 1, mid, axis)
-    return out
-
-
-def restrict_axis(y, axis):
-    """Adjoint of prolong_axis scaled by 1/2 (full weighting)."""
-    nf = y.shape[axis]
-    ym = jnp.moveaxis(y, axis, 0)
-    even = ym[0:nf:2]
-    half = 0.5 * ym[1:nf:2]
-    acc = even
-    acc = acc.at[:-1].add(half)
-    acc = acc.at[1:].add(half)
-    return jnp.moveaxis(0.5 * acc, 0, axis)
 
 
 def _gd_mid_table(grid: Grid, axis: int):
@@ -131,6 +97,11 @@ class PoissonMultigrid:
                 break
             g = Grid(g.degree, tuple(c // 2 for c in g.cells), g.lower,
                      g.upper, 1)
+        if len(self.levels) == 1:
+            raise ValueError(
+                "PoissonMultigrid: grid %s cannot be coarsened (odd or "
+                "too-small cell count); use even cell counts >= %d or a "
+                "Jacobi preconditioner" % (grid.cells, 2 * coarsest))
         # dense inverse on the coarsest level
         lvl = self.levels[-1]
         gc = lvl["grid"]

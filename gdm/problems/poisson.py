@@ -26,7 +26,9 @@ def solve(
     """Solve -Laplace(u) = f, u = 0 on the boundary.
 
     precondition: "jacobi" | "mg" (geometric multigrid V-cycle; mesh-
-    independent ~7 CG iterations) | "none".
+    independent ~7 CG iterations; requires even cell counts) | "none" |
+    a prebuilt preconditioner callable (e.g. PoissonMultigrid(grid)
+    .precondition) to amortize setup across solves.
     Returns (solution field, info dict).
     """
     import jax
@@ -37,7 +39,9 @@ def solve(
     b = cons.constrain_rhs(load_vector(grid, rhs_fn))
     diag = jnp.where(jnp.asarray(cons.full_mask), 1.0, jnp.asarray(A.diagonal()))
 
-    if precondition == "mg":
+    if callable(precondition):
+        precond = precondition
+    elif precondition == "mg":
         from ..multigrid import PoissonMultigrid
 
         precond = PoissonMultigrid(grid).precondition

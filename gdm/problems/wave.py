@@ -268,34 +268,10 @@ class WaveProblem:
         self.postprocess(0.0, u)
 
     def _stiffness_diag(self) -> np.ndarray:
-        """Host-side diagonal of the cut stiffness matrix."""
-        op = self.op_in
         pp = self.params
-        N = self.grid.n_nodes
-        diag = np.zeros(N)
-        if len(op.full_ids):
-            mats = op.A_stiff[op.cat_full]
-            np.add.at(diag, op.w_full.reshape(-1),
-                      np.einsum("nii->ni", mats).reshape(-1))
-        if len(op.cut_ids):
-            d = np.einsum("nqdi,nqdi,nq->ni", op.G_cut, op.G_cut, op.vol_w)
-            np.add.at(diag, op.w_cut.reshape(-1), d.reshape(-1))
-            if pp.function_interface_dbc is not None:
-                Gn = np.einsum("nqdi,nqd->nqi", op.G_surf, op.surf_n)
-                d = np.einsum(
-                    "nqi,nqi,nq->ni",
-                    (pp.nitsche_parameter / op.h_min) * op.V_surf - 2 * Gn,
-                    op.V_surf, op.surf_w)
-                np.add.at(diag, op.w_cut.reshape(-1), d.reshape(-1))
-        if len(op.gp_win):
-            scale = pp.ghost_parameter_A * op.h_min**3
-            d = scale * np.einsum("faa->fa", op.gp_mat)
-            np.add.at(diag, op.gp_win.reshape(-1), d.reshape(-1))
-        diag[op.inactive] += 1.0
-        # guard against non-positive diagonal entries (possible with
-        # aggressive Nitsche sign structure)
-        diag[diag <= 0] = 1.0
-        return diag
+        return self.op_in.stiffness_diagonal(
+            pp.ghost_parameter_A, pp.nitsche_parameter,
+            with_nitsche=pp.function_interface_dbc is not None)
 
     # -- heat / wave explicit -------------------------------------------
     def _rhs_fn(self, op: CutOperators):

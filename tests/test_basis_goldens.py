@@ -10,10 +10,10 @@ from gdm import basis
 POLY = "/root/reference/tests/poly_01.output"
 
 import pytest as _pytest
+from conftest import reference_available
 
 pytestmark = _pytest.mark.skipif(
-    not __import__("os").path.exists("/root/reference/tests/poly_01.output"),
-    reason="reference goldens not mounted")
+    not reference_available(), reason="reference goldens not mounted")
 
 FE02 = "/root/reference/tests/fe_02_gdm.output"
 

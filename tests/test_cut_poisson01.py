@@ -43,14 +43,8 @@ def run(do_gp: bool) -> float:
     g_fn = lambda pts, t: jnp.full(pts.shape[:-1], 1.0)
     exact = lambda pts, t: 1.0 - (2.0 / 2) * ((pts**2).sum(-1) - 1.0)
 
-    # diagonal for Jacobi
-    diag = np.zeros(grid.n_nodes)
-    mats = op.A_stiff[op.cat_full]
-    np.add.at(diag, op.w_full.reshape(-1), np.einsum("nii->ni", mats).reshape(-1))
-    d = np.einsum("nqdi,nqdi,nq->ni", op.G_cut, op.G_cut, op.vol_w)
-    np.add.at(diag, op.w_cut.reshape(-1), d.reshape(-1))
-    diag[op.inactive] += 1.0
-    diag[diag <= 0] = 1.0
+    diag = op.stiffness_diagonal(gamma, nitsche, with_nitsche=False,
+                                 gp_power=1)
 
     @jax.jit
     def solve():

@@ -61,14 +61,7 @@ def test_cut_poisson_convergence_order():
         rhs_fn = lambda pts, t: jnp.full(pts.shape[:-1], 4.0)
         g_fn = lambda pts, t: jnp.full(pts.shape[:-1], 1.0)
         exact = lambda pts, t: 1.0 - ((pts**2).sum(-1) - 1.0)
-        diag = np.zeros(grid.n_nodes)
-        np.add.at(diag, op.w_full.reshape(-1),
-                  np.einsum("nii->ni", op.A_stiff[op.cat_full]).reshape(-1))
-        np.add.at(diag, op.w_cut.reshape(-1),
-                  np.einsum("nqdi,nqdi,nq->ni", op.G_cut, op.G_cut,
-                            op.vol_w).reshape(-1))
-        diag[op.inactive] += 1.0
-        diag[diag <= 0] = 1.0
+        diag = op.stiffness_diagonal(0.5, gn, with_nitsche=False)
         b = op.compute_rhs(jnp.zeros(grid.n_nodes), 0.0, False,
                            rhs_fn=rhs_fn, interface_dbc=g_fn,
                            nitsche_gamma=gn)

@@ -20,10 +20,10 @@ from gdm.ops.tensor import apply_banded
 GOLDEN = "/root/reference/tests/poisson_02_gdm.mpirun=1.output"
 
 import pytest as _pytest
+from conftest import reference_available
 
 pytestmark = _pytest.mark.skipif(
-    not __import__("os").path.exists("/root/reference/tests/poisson_02_gdm.mpirun=1.output"),
-    reason="reference goldens not mounted")
+    not reference_available(), reason="reference goldens not mounted")
 
 GOLDEN3 = "/root/reference/tests/poisson_02_gdm.mpirun=3.output"
 

@@ -16,10 +16,10 @@ from gdm.problems import poisson
 GOLDEN = "/root/reference/tests/poisson_01_gdm.output"
 
 import pytest as _pytest
+from conftest import reference_available
 
 pytestmark = _pytest.mark.skipif(
-    not __import__("os").path.exists("/root/reference/tests/poisson_01_gdm.output"),
-    reason="reference goldens not mounted")
+    not reference_available(), reason="reference goldens not mounted")
 
 
 

@@ -21,10 +21,10 @@ from gdm.problems.wave import WaveProblem, make_preset
 REF = "/root/reference/applications/wave/tests"
 
 import pytest as _pytest
+from conftest import reference_available
 
 pytestmark = _pytest.mark.skipif(
-    not __import__("os").path.exists("/root/reference/applications/wave/tests"),
-    reason="reference goldens not mounted")
+    not reference_available(), reason="reference goldens not mounted")
 
 
 
