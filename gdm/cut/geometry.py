@@ -56,21 +56,53 @@ def classify_cells(ls: LevelSetInterpolant, n_samples: int = 21) -> np.ndarray:
     """
     grid = ls.grid
     dim = grid.dim
-    s = np.linspace(0.0, 1.0, n_samples)
-    E = ls.eval_matrix(tuple(s), 0)  # (S, q)
-    # evaluate on all cells at once: contract each (cell, q) axis pair
-    v = ls.nodal
-    for d in range(dim):
-        # axis layout: (n_0, q, n_1, q, ...); after d contractions:
-        # (n_0, S, ..., n_d, q, ...)
-        v = np.moveaxis(np.tensordot(v, E, axes=(2 * d + 1, 1)), -1, 2 * d + 1)
-    out = np.empty(grid.cells, dtype=np.int8)
-    it = np.ndindex(*grid.cells)
-    for idx in it:
-        sl = []
-        for i in idx:
-            sl += [i, slice(None)]
-        out[idx] = _classify_values(v[tuple(sl)])
+    tol = 1e-14
+    # stage 1: screen with per-cell GLL NODAL min/max (values on the
+    # polynomial itself).  A nodal sign change proves intersection; a
+    # same-sign cell can only be intersected if the polynomial wiggles
+    # below its sampled range, bounded by ~the nodal span.
+    nod = np.transpose(
+        ls.nodal, tuple(range(0, 2 * dim, 2)) + tuple(range(1, 2 * dim, 2))
+    ).reshape(grid.cells + (-1,))
+    mn = nod.min(axis=-1)
+    mx = nod.max(axis=-1)
+    span = mx - mn
+    out = np.full(grid.cells, INTERSECTED, dtype=np.int8)
+    out[mn > tol] = OUTSIDE
+    out[mx < -tol] = INSIDE
+    # candidates for dense refinement: same-sign cells whose distance to
+    # zero is within one nodal span (possible inter-sample dip)
+    candidate = ((out == OUTSIDE) & (mn <= span)) | (
+        (out == INSIDE) & (-mx <= span)
+    )
+    idx = np.argwhere(candidate)
+    if len(idx):
+        s = np.linspace(0.0, 1.0, n_samples)
+        E = ls.eval_matrix(tuple(s), 0)  # (S, q)
+        v = _gather_cells(ls.nodal, idx, dim)  # (nc, q, ..., q)
+        for d in range(dim):
+            v = np.moveaxis(np.tensordot(v, E, axes=(1, 1)), -1, dim - d)
+        v = v.reshape(len(idx), -1)
+        mnc = v.min(axis=-1)
+        mxc = v.max(axis=-1)
+        loc = np.full(len(idx), INTERSECTED, dtype=np.int8)
+        loc[mnc > tol] = OUTSIDE
+        loc[mxc < -tol] = INSIDE
+        out[tuple(idx.T)] = loc
+    return out
+
+
+def _gather_cells(nodal, idx, dim):
+    """nodal (n0, q, n1, q, ...) -> (n_sel, q, q, ...) for selected cells."""
+    # advanced-index the cell axes one at a time, keeping them leading
+    out = nodal[idx[:, 0]]  # (nc, q, n1, q, ...)
+    for d in range(1, dim):
+        # cell axis d now sits at position 2*d
+        out = np.take_along_axis(
+            out,
+            idx[:, d].reshape((-1,) + (1,) * (out.ndim - 1)),
+            axis=2 * d,
+        ).squeeze(axis=2 * d)
     return out
 
 

@@ -64,14 +64,15 @@ class LevelSetInterpolant:
         deriv = deriv if deriv is not None else (0,) * dim
         nod = self.cell_nodal(cell_idx)  # (q,)*dim
         pts_ref = np.atleast_2d(pts_ref)
-        out = np.empty(len(pts_ref))
-        for i, pt in enumerate(pts_ref):
-            v = nod
-            for d in range(dim):
-                E = self.eval_matrix((pt[d],), deriv[d])  # (1, q)
-                v = np.tensordot(E[0], v, axes=(0, 0))
-            out[i] = v
-        return out
+        # vectorized over points: per-axis evaluation matrices (P, q),
+        # contracted against the nodal tensor
+        v = nod[None, ...]  # (1, q, q, ...)
+        for d in range(dim):
+            E = self.eval_matrix(tuple(pts_ref[:, d]), deriv[d])  # (P, q)
+            # contract current leading nodal axis (axis 1) with E
+            v = np.einsum("pq,pq...->p...", E, v) if v.shape[0] > 1 else \
+                np.einsum("pq,xq...->p...", E, v)
+        return v
 
     def gradient_phys(self, cell_idx, pts_ref: np.ndarray) -> np.ndarray:
         """Physical-space gradient at reference points: (n_pts, dim)."""

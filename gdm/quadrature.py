@@ -39,18 +39,24 @@ def gauss_lobatto_points(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def lagrange_eval_matrix(nodes: tuple, pts: tuple, deriv: int = 0) -> np.ndarray:
-    """Evaluation matrix E[q, i] = L_i^(deriv)(pts[q]) for the Lagrange basis
-    on `nodes` (both given as tuples of floats on [0,1])."""
+def _lagrange_coeff_matrix(nodes: tuple, deriv: int) -> np.ndarray:
+    """Monomial coefficients C[k, i] of the (differentiated) cardinals on
+    `nodes` (cached; nodes sets are few, evaluation points are many)."""
     nodes_a = np.asarray(nodes)
-    pts_a = np.asarray(pts)
     n = len(nodes_a)
-    # build monomial coefficients of each cardinal by Newton's/linear algebra:
-    # solve Vandermonde system V c_i = e_i  => C = inv(V)
     V = np.vander(nodes_a, n, increasing=True)
     C = np.linalg.inv(V)  # C[k, i]: coeff of x^k for cardinal i
     for _ in range(deriv):
         C = C[1:] * np.arange(1, C.shape[0])[:, None]
+    return C
+
+
+def lagrange_eval_matrix(nodes: tuple, pts, deriv: int = 0) -> np.ndarray:
+    """Evaluation matrix E[q, i] = L_i^(deriv)(pts[q]) for the Lagrange basis
+    on `nodes` (a tuple of floats on [0,1]); pts: any 1D sequence."""
+    C = _lagrange_coeff_matrix(tuple(nodes), deriv)
+    pts_a = np.asarray(pts, dtype=np.float64)
+    n = len(nodes)
     if C.shape[0] == 0:
         return np.zeros((len(pts_a), n))
     E = np.zeros((len(pts_a), n))
