@@ -187,9 +187,12 @@ class WaveProblem:
 
     def _mass_solver(self, op: CutOperators):
         gm = self.params.ghost_parameter_M
+        pp = self.params
+        if pp.solver_name == "direct":
+            return solvers.make_direct_solver(
+                lambda v: op.mass_apply(v, gm), self.grid.n_nodes)
         diag = jnp.asarray(op.mass_diagonal(gm))
         pre = solvers.jacobi_preconditioner(diag)
-        pp = self.params
 
         def solve(b):
             x, info = solvers.cg(

@@ -76,6 +76,26 @@ def cg(
     return x, {"iterations": i, "residual": norm_r}
 
 
+def make_direct_solver(apply_fn, n_dofs: int, shape=None):
+    """Dense direct solve (parity with the reference's Trilinos
+    SolverDirect option, problem.h:465-496): materialize the operator by
+    applying it to unit vectors, LU-factorize once, return a solve
+    callable.  Only for modest n_dofs."""
+    import numpy as np
+    import jax.scipy.linalg as jsl
+
+    shape = shape if shape is not None else (n_dofs,)
+    eye = jnp.eye(n_dofs).reshape((n_dofs,) + tuple(shape))
+    A = np.array(jax.vmap(apply_fn)(eye).reshape(n_dofs, n_dofs)).T
+    lu, piv = jax.scipy.linalg.lu_factor(jnp.asarray(A))
+
+    def solve(b):
+        x = jsl.lu_solve((lu, piv), b.reshape(-1))
+        return x.reshape(b.shape)
+
+    return solve
+
+
 def jacobi_preconditioner(diag):
     """diag: field (pytree of arrays); zeros are treated as 1."""
     inv = jax.tree_util.tree_map(
