@@ -37,3 +37,21 @@ def test_convergence_table():
     t.set_scientific("error_2", True)
     txt = t.write_text(out=open(os.devnull, "w"))
     assert "1.2340e-05" in txt and "n" in txt
+
+
+def test_dataout_patch_values(tmp_path):
+    """DataOut must evaluate the GD field exactly at patch lattice points
+    (a polynomial of degree <= p is reproduced)."""
+    from gdm.grid import Grid
+    from gdm.io import DataOut
+
+    g = Grid(3, (4, 5), (0.0, 0.0), (1.0, 1.25))
+    mesh = g.node_coords_mesh()
+    f = 1.0 + 2 * mesh[0] ** 3 - mesh[1] ** 2 + mesh[0] * mesh[1]
+    d = DataOut(g, output_degree=3)
+    d.add_data_vector(f, "u")
+    pts, cells, point_data, _ = d._patches()
+    x, y = pts[:, 0], pts[:, 1]
+    expect = 1.0 + 2 * x**3 - y**2 + x * y
+    np.testing.assert_allclose(point_data["u"].reshape(-1), expect,
+                               atol=1e-12)
