@@ -384,10 +384,12 @@ class CutGeometry:
             locations, list(range(grid.dim - 1, -1, -1))
         ).reshape(-1)
         cut_ids = np.where(loc_flat == INTERSECTED)[0].astype(np.int32)
-        quads = []
-        for cid in cut_ids:
-            idx = _unflatten(cid, grid.cells)
-            quads.append(gen.cell_quadrature(idx))
+        quads = _native_cell_quadratures(grid, ls, gen, cut_ids, nq)
+        if quads is None:
+            quads = []
+            for cid in cut_ids:
+                idx = _unflatten(cid, grid.cells)
+                quads.append(gen.cell_quadrature(idx))
         return CutGeometry(grid, ls, locations, cut_ids, quads)
 
     @property
@@ -425,6 +427,42 @@ class CutGeometry:
                 cp[d] += 1
                 faces.append((d, _flatten(cm, grid.cells), _flatten(cp, grid.cells)))
         return faces
+
+
+def _native_cell_quadratures(grid, ls, gen, cut_ids, nq):
+    """Batched C++ cut quadrature (2D); python fallback per flagged cell.
+
+    Returns None when the native path is unavailable (pure-numpy mode)."""
+    if grid.dim != 2 or len(cut_ids) == 0:
+        return None
+    from .. import native
+
+    if not native.available():
+        return None
+    idx = np.stack([_unflatten(int(c), grid.cells) for c in cut_ids])
+    nodal = _gather_cells(ls.nodal, idx, grid.dim)  # (nc, q, q)
+    Vinv = np.linalg.inv(
+        np.vander(np.asarray(ls.nodes), ls.q, increasing=True))
+    monos = np.einsum("ia,cab,jb->cij", Vinv, nodal, Vinv)
+    from .. import quadrature as quadmod
+
+    gx, gw = quadmod.gauss(nq)
+    res = native.cut_quadrature_2d(monos, gx, gw, grid.h[0], grid.h[1])
+    if res is None:
+        return None
+    quads = []
+    for i, cid in enumerate(cut_ids):
+        if res["status"][i] != 0:
+            quads.append(gen.cell_quadrature(tuple(idx[i])))
+            continue
+        ni, no, ns = res["n_in"][i], res["n_out"][i], res["n_s"][i]
+        quads.append(CellQuadrature(
+            res["in_pts"][i, :ni].copy(), res["in_w"][i, :ni].copy(),
+            res["out_pts"][i, :no].copy(), res["out_w"][i, :no].copy(),
+            res["s_pts"][i, :ns].copy(), res["s_w"][i, :ns].copy(),
+            res["s_n"][i, :ns].copy(),
+        ))
+    return quads
 
 
 def _unflatten(flat, cells):

@@ -90,3 +90,71 @@ def batched_real_roots(coeffs: np.ndarray, lo: float, hi: float,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return roots, counts
+
+
+def cut_quadrature_2d(monos: np.ndarray, gx, gw, hx: float, hy: float,
+                      maxv: int = None, maxs: int = None):
+    """Batched 2D cut-cell quadrature from per-cell monomial level-set
+    coefficients.  Returns dict of padded arrays + per-cell counts and
+    status (status=1: cell needs the python bisection fallback).
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "gdm_cut_quadrature_2d_configured"):
+        lib.gdm_cut_quadrature_2d.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.gdm_cut_quadrature_2d_configured = True
+    monos = np.ascontiguousarray(monos, dtype=np.float64)
+    nc, q, _ = monos.shape
+    gx = np.ascontiguousarray(gx, dtype=np.float64)
+    gw = np.ascontiguousarray(gw, dtype=np.float64)
+    nq = len(gx)
+    deg = q - 1
+    if maxv is None:
+        maxv = (2 * deg + 3) * nq * (deg + 1) * nq
+    if maxs is None:
+        maxs = (2 * deg + 3) * nq * deg
+
+    def dbuf(shape):
+        return np.zeros(shape, dtype=np.float64)
+
+    in_pts = dbuf((nc, maxv, 2)); in_w = dbuf((nc, maxv))
+    out_pts = dbuf((nc, maxv, 2)); out_w = dbuf((nc, maxv))
+    s_pts = dbuf((nc, maxs, 2)); s_w = dbuf((nc, maxs))
+    s_n = dbuf((nc, maxs, 2))
+    n_in = np.zeros(nc, np.int32); n_out = np.zeros(nc, np.int32)
+    n_s = np.zeros(nc, np.int32); status = np.zeros(nc, np.int32)
+
+    P = ctypes.POINTER(ctypes.c_double)
+    I = ctypes.POINTER(ctypes.c_int32)
+    lib.gdm_cut_quadrature_2d(
+        monos.ctypes.data_as(P), ctypes.c_int64(nc), ctypes.c_int(q),
+        gx.ctypes.data_as(P), gw.ctypes.data_as(P), ctypes.c_int(nq),
+        ctypes.c_double(hx), ctypes.c_double(hy),
+        ctypes.c_int(maxv), ctypes.c_int(maxs),
+        in_pts.ctypes.data_as(P), in_w.ctypes.data_as(P),
+        n_in.ctypes.data_as(I),
+        out_pts.ctypes.data_as(P), out_w.ctypes.data_as(P),
+        n_out.ctypes.data_as(I),
+        s_pts.ctypes.data_as(P), s_w.ctypes.data_as(P),
+        s_n.ctypes.data_as(P), n_s.ctypes.data_as(I),
+        status.ctypes.data_as(I),
+    )
+    return {
+        "in_pts": in_pts, "in_w": in_w, "n_in": n_in,
+        "out_pts": out_pts, "out_w": out_w, "n_out": n_out,
+        "s_pts": s_pts, "s_w": s_w, "s_n": s_n, "n_s": n_s,
+        "status": status,
+    }
