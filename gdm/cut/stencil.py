@@ -1,0 +1,141 @@
+"""Assembled structured-stencil form of cut operators.
+
+Any cut operator (mass, stiffness, M + dt*S) has the sparsity of the
+grid's stencil graph: node i couples only to nodes within a fixed offset
+radius r = p+1 (cell windows + one ghost-penalty neighbor cell).  Instead
+of a sparse matrix (the reference's Trilinos path) or gather/einsum/
+scatter (our matrix-free path), the operator can be stored as a
+generalized band  band[node, offset]  and applied with (2r+1)^dim shifted
+multiply-adds — pure VPU stencil sweeps with no scatters, which on TPU
+turns the per-CG-iteration cost from scatter-bound into bandwidth-bound.
+
+Used for the repeated solves of the time loops (mass CG every RK stage,
+(M + dt S) CG for implicit Euler).  Host-side assembly from the same
+tables the matrix-free path uses; parity-tested against it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..grid import Grid
+from .operators import CutOperators
+
+
+class StencilOperator:
+    """y[i] = sum_off band[i, off] * u[i + off] on the node lattice."""
+
+    def __init__(self, grid: Grid, band: np.ndarray, radius: int):
+        self.grid = grid
+        self.radius = radius
+        self.band = jnp.asarray(band)  # nodes + (2r+1,)*dim
+
+    def apply(self, u_flat):
+        grid = self.grid
+        r = self.radius
+        dim = grid.dim
+        u = u_flat.reshape(grid.nodes)
+        pad = [(r, r)] * dim
+        up = jnp.pad(u, pad)
+        y = jnp.zeros(grid.nodes, u.dtype)
+        K = 2 * r + 1
+        for flat_off in range(K**dim):
+            idx = []
+            rem = flat_off
+            for d in range(dim):
+                idx.append(rem % K)
+                rem //= K
+            sl = tuple(
+                slice(idx[d], idx[d] + grid.nodes[d]) for d in range(dim)
+            )
+            bslice = self.band[(Ellipsis,) + tuple(idx)]
+            y = y + bslice * up[sl]
+        return y.reshape(-1)
+
+
+def _accumulate(band_flat, windows, mats, grid, radius):
+    """band_flat: (n_nodes, K^dim); windows (n, m); mats (n, m, m)."""
+    dim = grid.dim
+    K = 2 * radius + 1
+    n, m = windows.shape
+    # node coords from C-order flat indices
+    strides = [1] * dim
+    for d in range(dim - 2, -1, -1):
+        strides[d] = strides[d + 1] * grid.nodes[d + 1]
+    wi = windows[:, :, None]  # (n, m, 1) output nodes
+    wj = windows[:, None, :]  # (n, 1, m) input nodes
+    # per-axis offsets of input relative to output
+    off_flat = np.zeros((n, m, m), dtype=np.int64)
+    rem_i = wi.astype(np.int64)
+    rem_j = wj.astype(np.int64)
+    for d in range(dim):
+        ci = rem_i // strides[d]
+        cj = rem_j // strides[d]
+        rem_i = rem_i % strides[d]
+        rem_j = rem_j % strides[d]
+        off_flat = off_flat * K + (cj - ci + radius)
+    rows = np.broadcast_to(wi, (n, m, m))
+    np.add.at(band_flat, (rows.reshape(-1), off_flat.reshape(-1)),
+              mats.reshape(-1))
+
+
+def assemble_stencil(op: CutOperators, kind: str, gamma: float,
+                     nitsche_gamma: float = 0.0, with_nitsche: bool = False,
+                     gp_power: int = 3, with_bdry_nitsche: bool = False,
+                     inactive_identity: bool = True) -> StencilOperator:
+    """Assemble the cut mass ('mass') or stiffness ('stiff') operator into
+    stencil-band form (including ghost penalty and, optionally, the 0->1
+    inactive identity and the domain-boundary Nitsche terms of the
+    matrix-free RHS path)."""
+    grid = op.grid
+    dim = grid.dim
+    p = grid.degree
+    radius = p + 1  # GP couples adjacent cell windows
+    K = 2 * radius + 1
+    band = np.zeros((grid.n_nodes, K**dim))
+
+    if kind == "mass":
+        if len(op.full_ids):
+            _accumulate(band, op.w_full, op.A_mass[op.cat_full], grid, radius)
+        if len(op.cut_ids):
+            mats = np.einsum("nqi,nqj,nq->nij", op.V_cut, op.V_cut, op.vol_w)
+            _accumulate(band, op.w_cut, mats, grid, radius)
+    elif kind == "stiff":
+        if len(op.full_ids):
+            _accumulate(band, op.w_full, op.A_stiff[op.cat_full], grid, radius)
+        if len(op.cut_ids):
+            mats = np.einsum("nqdi,nqdj,nq->nij", op.G_cut, op.G_cut,
+                             op.vol_w)
+            if with_nitsche:
+                Gn = np.einsum("nqdi,nqd->nqi", op.G_surf, op.surf_n)
+                mats = mats + np.einsum(
+                    "nqi,nqj,nq->nij",
+                    (nitsche_gamma / op.h_min) * op.V_surf - Gn,
+                    op.V_surf, op.surf_w)
+                mats = mats - np.einsum("nqi,nqj,nq->nij", Gn, op.V_surf,
+                                        op.surf_w).transpose(0, 2, 1)
+            _accumulate(band, op.w_cut, mats, grid, radius)
+    else:
+        raise ValueError(kind)
+
+    if with_bdry_nitsche and len(op.b_win):
+        Gn = np.einsum("nqdi,nd->nqi", op.b_G, op.b_normal)
+        mats = np.einsum(
+            "nqi,nqj,nq->nij",
+            (nitsche_gamma / op.h_min) * op.b_V - Gn, op.b_V, op.b_w)
+        mats = mats - np.einsum("nqi,nqj,nq->nij", Gn, op.b_V,
+                                op.b_w).transpose(0, 2, 1)
+        _accumulate(band, op.b_win, mats, grid, radius)
+
+    if len(op.gp_win):
+        scale = gamma * op.h_min**gp_power
+        _accumulate(band, op.gp_win, scale * op.gp_mat, grid, radius)
+
+    center = (K**dim - 1) // 2
+    if inactive_identity:
+        band[op.inactive, center] += 1.0
+
+    return StencilOperator(grid, band.reshape(grid.nodes + (K,) * dim),
+                           radius)

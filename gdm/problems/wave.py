@@ -191,12 +191,13 @@ class WaveProblem:
         if pp.solver_name == "direct":
             return solvers.make_direct_solver(
                 lambda v: op.mass_apply(v, gm), self.grid.n_nodes)
+        apply_fn = _repeated_apply(op, "mass", gm)
         diag = jnp.asarray(op.mass_diagonal(gm))
         pre = solvers.jacobi_preconditioner(diag)
 
         def solve(b):
             x, info = solvers.cg(
-                lambda v: op.mass_apply(v, gm), b, precond=pre,
+                apply_fn, b, precond=pre,
                 max_iter=pp.solver_max_iterations,
                 abs_tol=pp.solver_abs_tolerance,
                 rel_tol=pp.solver_rel_tolerance,
@@ -279,6 +280,32 @@ class WaveProblem:
     # -- heat / wave explicit -------------------------------------------
     def _rhs_fn(self, op: CutOperators):
         pp = self.params
+        K = 2 * (self.grid.degree + 1) + 1
+        if self.grid.n_nodes * K**self.grid.dim <= 3e7:
+            # the u-linear ("impl") part of the matrix-free RHS has stencil
+            # sparsity: assemble it once; per-stage work = one stencil
+            # sweep + the time-dependent forcing terms
+            from ..cut.stencil import assemble_stencil
+
+            S = assemble_stencil(
+                op, "stiff", pp.ghost_parameter_A, pp.nitsche_parameter,
+                with_nitsche=pp.function_interface_dbc is not None,
+                gp_power=1,
+                with_bdry_nitsche=pp.function_domain_dbc is not None,
+                inactive_identity=False,
+            )
+
+            def rhs(u, t):
+                forcing = op.compute_rhs(
+                    u, t, False, rhs_fn=pp.function_rhs,
+                    interface_dbc=pp.function_interface_dbc,
+                    domain_dbc=pp.function_domain_dbc,
+                    gamma_A=pp.ghost_parameter_A,
+                    nitsche_gamma=pp.nitsche_parameter,
+                )
+                return forcing - S.apply(u)
+
+            return rhs
 
         def rhs(u, t):
             return op.compute_rhs(
@@ -448,6 +475,23 @@ def write_solution_vtu(problem: "WaveProblem", path: str, location=INSIDE):
     inverse = _OUT if location == _IN else _IN
     out.set_cell_selection(problem.geo.locations_flat != inverse)
     out.write_vtu(path)
+
+
+def _repeated_apply(op: CutOperators, kind: str, gamma: float,
+                    nitsche_gamma: float = 0.0, with_nitsche: bool = False):
+    """Pick the fastest apply for solver-inner-loop use: the assembled
+    stencil-band form (no scatters, TPU-friendly) when its memory is
+    modest, else the matrix-free gather/scatter form."""
+    K = 2 * (op.grid.degree + 1) + 1
+    if op.grid.n_nodes * K**op.grid.dim <= 3e7:
+        from ..cut.stencil import assemble_stencil
+
+        st = assemble_stencil(op, kind, gamma, nitsche_gamma, with_nitsche)
+        return st.apply
+    if kind == "mass":
+        return lambda v: op.mass_apply(v, gamma)
+    return lambda v: op.stiffness_matrix_apply(v, gamma, nitsche_gamma,
+                                               with_nitsche)
 
 
 def _interface_coupling(op_in: CutOperators, r0, r1, u0, u1, tau):
