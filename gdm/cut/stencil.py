@@ -139,3 +139,19 @@ def assemble_stencil(op: CutOperators, kind: str, gamma: float,
 
     return StencilOperator(grid, band.reshape(grid.nodes + (K,) * dim),
                            radius)
+
+
+def best_solver_apply(op: CutOperators, kind: str, gamma: float,
+                      nitsche_gamma: float = 0.0,
+                      with_nitsche: bool = False,
+                      max_band_entries: float = 3e7):
+    """The fastest apply for solver-inner-loop use: the stencil-band form
+    when its memory is modest, else the matrix-free form."""
+    K = 2 * (op.grid.degree + 1) + 1
+    if op.grid.n_nodes * K**op.grid.dim <= max_band_entries:
+        return assemble_stencil(op, kind, gamma, nitsche_gamma,
+                                with_nitsche).apply
+    if kind == "mass":
+        return lambda v: op.mass_apply(v, gamma)
+    return lambda v: op.stiffness_matrix_apply(v, gamma, nitsche_gamma,
+                                               with_nitsche)

@@ -183,12 +183,15 @@ class AdvectionProblem:
     def _mass_solver(self, op):
         pp = self.params
         gm = pp.ghost_parameter_M
+        from ..cut.stencil import best_solver_apply
+
+        apply_fn = best_solver_apply(op, "mass", gm)
         diag = jnp.asarray(op.mass_diagonal(gm))
         pre = solvers.jacobi_preconditioner(diag)
 
         def solve(b):
             x, _ = solvers.cg(
-                lambda v: op.mass_apply(v, gm), b, precond=pre,
+                apply_fn, b, precond=pre,
                 max_iter=pp.solver_max_iterations,
                 abs_tol=pp.solver_abs_tolerance,
                 rel_tol=pp.solver_rel_tolerance,

@@ -191,7 +191,9 @@ class WaveProblem:
         if pp.solver_name == "direct":
             return solvers.make_direct_solver(
                 lambda v: op.mass_apply(v, gm), self.grid.n_nodes)
-        apply_fn = _repeated_apply(op, "mass", gm)
+        from ..cut.stencil import best_solver_apply
+
+        apply_fn = best_solver_apply(op, "mass", gm)
         diag = jnp.asarray(op.mass_diagonal(gm))
         pre = solvers.jacobi_preconditioner(diag)
 
@@ -475,23 +477,6 @@ def write_solution_vtu(problem: "WaveProblem", path: str, location=INSIDE):
     inverse = _OUT if location == _IN else _IN
     out.set_cell_selection(problem.geo.locations_flat != inverse)
     out.write_vtu(path)
-
-
-def _repeated_apply(op: CutOperators, kind: str, gamma: float,
-                    nitsche_gamma: float = 0.0, with_nitsche: bool = False):
-    """Pick the fastest apply for solver-inner-loop use: the assembled
-    stencil-band form (no scatters, TPU-friendly) when its memory is
-    modest, else the matrix-free gather/scatter form."""
-    K = 2 * (op.grid.degree + 1) + 1
-    if op.grid.n_nodes * K**op.grid.dim <= 3e7:
-        from ..cut.stencil import assemble_stencil
-
-        st = assemble_stencil(op, kind, gamma, nitsche_gamma, with_nitsche)
-        return st.apply
-    if kind == "mass":
-        return lambda v: op.mass_apply(v, gamma)
-    return lambda v: op.stiffness_matrix_apply(v, gamma, nitsche_gamma,
-                                               with_nitsche)
 
 
 def _interface_coupling(op_in: CutOperators, r0, r1, u0, u1, tau):
