@@ -97,12 +97,12 @@ def _gather_cells(nodal, idx, dim):
     # advanced-index the cell axes one at a time, keeping them leading
     out = nodal[idx[:, 0]]  # (nc, q, n1, q, ...)
     for d in range(1, dim):
-        # cell axis d now sits at position 2*d
+        # after d-1 squeezes, cell axis d sits at position d+1
         out = np.take_along_axis(
             out,
             idx[:, d].reshape((-1,) + (1,) * (out.ndim - 1)),
-            axis=2 * d,
-        ).squeeze(axis=2 * d)
+            axis=d + 1,
+        ).squeeze(axis=d + 1)
     return out
 
 
@@ -235,7 +235,10 @@ class QuadratureGenerator:
 
         k = best_axis
         base_axes = [d for d in range(dim) if d != k]
-        assert dim == 2, "3D cut quadrature: recursion not yet enabled"
+        if dim == 3:
+            self._box_3d(cell_idx, lo, hi, depth, acc, k, base_axes)
+            return
+        assert dim == 2
         b = base_axes[0]
         # Saye dimension reduction: partition the base interval at the
         # roots of psi restricted to the bottom/top faces of the box, so
@@ -316,6 +319,111 @@ class QuadratureGenerator:
                 pt[b] = coord_b
                 acc["sp"].append(pt)
                 acc["sw"].append(wq * w_base_fac * norm / abs(gphys[k]))
+                acc["sn"].append(gphys / norm)
+
+    def _box_3d(self, cell_idx, lo, hi, depth, acc, k, base_axes):
+        """3D dimension reduction with a sign-definite height axis k.
+
+        Because psi is monotone along the height direction on this box,
+        every height line has 0 or 1 root, and the root count changes
+        across the base exactly where the bottom/top face restrictions
+        psi(.,.,lo_k) / psi(.,.,hi_k) change sign.  Partitioning each base
+        line at the roots of those two constraint restrictions therefore
+        makes all integrands piecewise-smooth, and tensor Gauss rules on
+        the base sub-segments converge spectrally (Saye's argument, one
+        recursion level spelled out for dim 3)."""
+        b1, b2 = base_axes
+        dim = 3
+
+        def roots_of_line(height_axis, fixed):
+            cpoly = self._poly_on_line(cell_idx, height_axis, fixed)
+            return self._roots_in(cpoly, lo[height_axis], hi[height_axis])
+
+        # partition b1 at the roots of the 4 edge restrictions
+        cuts1 = [lo[b1], hi[b1]]
+        for fk in (lo[k], hi[k]):
+            for f2 in (lo[b2], hi[b2]):
+                cuts1.extend(roots_of_line(b1, {k: fk, b2: f2}).tolist())
+        cuts1 = np.unique(np.asarray(cuts1))
+
+        # phase 1: enumerate all height lines; bisect the whole box on any
+        # tangency before accumulating anything
+        lines = []  # (c1, c2, w12, cpoly_k, roots, grads at roots)
+        for a1, e1 in zip(cuts1[:-1], cuts1[1:]):
+            if e1 - a1 < _ROOT_TOL:
+                continue
+            for g1, w1 in zip(a1 + self.gx * (e1 - a1), self.gw * (e1 - a1)):
+                cuts2 = [lo[b2], hi[b2]]
+                for fk in (lo[k], hi[k]):
+                    cuts2.extend(
+                        roots_of_line(b2, {k: fk, b1: g1}).tolist())
+                cuts2 = np.unique(np.asarray(cuts2))
+                for a2, e2 in zip(cuts2[:-1], cuts2[1:]):
+                    if e2 - a2 < _ROOT_TOL:
+                        continue
+                    for g2, w2 in zip(a2 + self.gx * (e2 - a2),
+                                      self.gw * (e2 - a2)):
+                        cpoly = self._poly_on_line(
+                            cell_idx, k, {b1: g1, b2: g2})
+                        roots = self._roots_in(cpoly, lo[k], hi[k])
+                        grads = np.zeros((len(roots), dim))
+                        if len(roots):
+                            pts = np.empty((len(roots), dim))
+                            pts[:, k] = roots
+                            pts[:, b1] = g1
+                            pts[:, b2] = g2
+                            grads = np.stack(
+                                [
+                                    self.ls.eval_cell(
+                                        cell_idx, pts,
+                                        tuple(1 if e == d else 0
+                                              for e in range(dim)),
+                                    )
+                                    for d in range(dim)
+                                ],
+                                axis=-1,
+                            )
+                            if np.any(
+                                np.abs(grads[:, k])
+                                < 1e-8 * np.linalg.norm(grads, axis=1)
+                            ):
+                                if depth < self.max_depth:
+                                    self._bisect(cell_idx, lo, hi, depth, acc)
+                                else:
+                                    self._fallback(cell_idx, lo, hi, acc)
+                                return
+                        lines.append((g1, g2, w1 * w2, cpoly, roots, grads))
+
+        # phase 2: accumulate
+        h = np.asarray(self.grid.h)
+        w_base_fac = h[b1] * h[b2]
+        for g1, g2, w12, cpoly, roots, grads in lines:
+            breaks = np.concatenate([[lo[k]], roots, [hi[k]]])
+            for ia, ib in zip(breaks[:-1], breaks[1:]):
+                if ib - ia < _ROOT_TOL:
+                    continue
+                mid = 0.5 * (ia + ib)
+                side = INSIDE if np.polyval(cpoly[::-1], mid) < 0 else OUTSIDE
+                for sx, sw in zip(ia + self.gx * (ib - ia),
+                                  self.gw * (ib - ia)):
+                    pt = np.empty(dim)
+                    pt[k] = sx
+                    pt[b1] = g1
+                    pt[b2] = g2
+                    key = "i" if side == INSIDE else "o"
+                    acc[key + "p"].append(pt)
+                    acc[key + "w"].append(w12 * sw)
+            for r, gref in zip(roots, grads):
+                gphys = gref / h
+                norm = np.linalg.norm(gphys)
+                if abs(gphys[k]) < 1e-8 * norm:
+                    continue
+                pt = np.empty(dim)
+                pt[k] = r
+                pt[b1] = g1
+                pt[b2] = g2
+                acc["sp"].append(pt)
+                acc["sw"].append(w12 * w_base_fac * norm / abs(gphys[k]))
                 acc["sn"].append(gphys / norm)
 
     def _box_1d(self, cell_idx, lo, hi, acc):

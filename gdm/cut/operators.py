@@ -306,6 +306,19 @@ class CutOperators:
         gx, gw = quadrature.gauss(self.nq)
         items = []  # (cell_flat, V (Qb,m), G (Qb,dim,m), w (Qb,), normal(dim,), phys (Qb,dim))
         want_neg = self.location == INSIDE
+        if dim > 2:
+            # (cut) domain-boundary face quadrature is 1D/2D only; 3D
+            # problems with domain_dbc are not supported yet
+            items = []
+            self.bdry = items
+            m3 = (grid.degree + 1) ** dim
+            self.b_V = np.zeros((0, 1, m3))
+            self.b_G = np.zeros((0, 1, dim, m3))
+            self.b_w = np.zeros((0, 1))
+            self.b_phys = np.zeros((0, 1, dim))
+            self.b_normal = np.zeros((0, dim))
+            self.b_win = np.zeros((0, m3), dtype=np.int32)
+            return
         from .geometry import QuadratureGenerator, _flatten
 
         qg = QuadratureGenerator(geo.ls, self.nq)
