@@ -39,6 +39,13 @@ def halo_pad(u_blk, width: int, axis_name: str):
 def banded_apply_sharded(u, band, mesh: Mesh, axis: str = "x"):
     """y = Band @ u along leading axis, u and band sharded over `axis`."""
     p = (band.shape[1] - 1) // 2
+    n_shards = mesh.shape[axis]
+    if u.shape[0] < n_shards * p:
+        raise ValueError(
+            f"shard width {u.shape[0]}/{n_shards} < halo width {p}: the "
+            f"single-hop ppermute halo needs >= {p} rows per device "
+            f"(use fewer devices or a larger grid)"
+        )
 
     @functools.partial(
         jax.shard_map,
