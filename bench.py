@@ -1,5 +1,5 @@
 """Benchmark: matrix-free GDM stiffness matvec throughput (DoF/s) and CG
-Poisson solve at 1024^2, degree 3, float32, on the available accelerator.
+Poisson solves at 1024^2, degree 3, float32, on the available accelerator.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -7,12 +7,24 @@ Prints ONE JSON line:
 vs_baseline is measured DoF/s divided by the target of
 /root/repo/BASELINE.json: 70% of the HBM roofline for an ideal
 (read-u + write-y) sweep on TPU v5e (819 GB/s -> 102.4 GDoF/s ideal,
-71.7 GDoF/s target).  The fused single-pass Pallas kernel
-(gdm/ops/pallas_stencil.py) implements that formulation, but the remote
-TPU relay of this environment cannot compile Pallas kernels, so the
-default path is the XLA separable sweep structure (~6 HBM passes);
-enable the kernel with GDM_ENABLE_PALLAS=1 where a full TPU toolchain is
-available.
+71.7 GDoF/s target).
+
+Timing methodology (important): under this environment's remote-TPU
+relay, ``block_until_ready()`` returns at dispatch-ACK time, NOT at
+execution completion, so wall-clocking a dispatched call measures queue
+noise (round 1's 14.1 GDoF/s was such an artifact).  Every measurement
+here instead (a) chains K applications inside ONE jitted
+``lax.fori_loop`` whose scalar reduction is forced to the host
+(``float(...)`` round-trip = true completion), and (b) reports the
+differential (t(K) - t(1)) / (K - 1) over min-of-trials, which cancels
+the ~30 ms host round-trip and its variance.  Validated against
+known-cost primitives (8192^2 elementwise pass: 599 GB/s; 8192^3 f32
+HIGHEST matmul: 30.7 Tflop/s; DEFAULT: 146 Tflop/s).
+
+Note sizes <= 2048^2 run with the loop state VMEM-resident (XLA keeps
+the carried array on-chip), which is the true steady state of solver
+inner loops at those sizes; 4096^2 (134 MB of state) is the honest
+HBM-streaming regime.
 """
 
 import json
@@ -25,55 +37,38 @@ IDEAL_BYTES_PER_DOF = 8  # read u (f32) + write y (f32)
 TARGET_FRACTION = 0.70
 
 
-def time_matvec(apply_fn, u, iters):
+def timed_chain(apply_fn, u, dt_hint=None, trials=4, target_s=0.2):
+    """Differential host-synced timing of one application of apply_fn.
+
+    Chains K apps in one jitted fori_loop ending in a host-forced scalar;
+    returns (t_min(K) - t_min(1)) / (K - 1).
+    """
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
-    def sweep(u, k):
-        return jax.lax.fori_loop(0, k, lambda i, v: apply_fn(v) * 1e-3, u)
+    def run(u, k):
+        y = jax.lax.fori_loop(0, k, lambda i, v: apply_fn(v), u)
+        return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(y))
 
-    sweep(u, 1).block_until_ready()  # compile
-    sweep(u, iters).block_until_ready()  # warm
-    t0 = time.time()
-    sweep(u, iters).block_until_ready()
-    return (time.time() - t0) / iters
-
-
-def measure_pallas_subprocess(timeout=420):
-    """Measure the fused Pallas kernel in a child process with a timeout
-    (the remote TPU compile relay has been observed to wedge)."""
-    import json as _json
-    import subprocess
-    import sys
-
-    code = r"""
-import json, time, jax, jax.numpy as jnp
-from gdm.grid import Grid
-from gdm.ops.pallas_stencil import make_padded_laplace
-out = {}
-for n in (1024, 2048):
-    grid = Grid(3, (n, n), (0.0, 0.0), (1.0, 1.0))
-    apply_pad, pad, unpad, shape = make_padded_laplace(grid, jnp.float32)
-    u = pad(jnp.ones(grid.nodes, jnp.float32))
-    @jax.jit
-    def loop(u, k):
-        return jax.lax.fori_loop(0, k, lambda i, v: apply_pad(v) * 1e-3, u)
-    loop(u, 1).block_until_ready()
-    loop(u, 1000).block_until_ready()
-    t0 = time.time(); loop(u, 1000).block_until_ready()
-    out[str(n)] = (n + 1) ** 2 / ((time.time() - t0) / 1000)
-print("BENCH_JSON:" + json.dumps(out))
-"""
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
-                           capture_output=True, text=True)
-        for line in r.stdout.splitlines():
-            if line.startswith("BENCH_JSON:"):
-                return {int(k): v for k, v in
-                        _json.loads(line[len("BENCH_JSON:"):]).items()}
-    except Exception:
-        pass
-    return None
+    float(run(u, 1))  # compile
+    if dt_hint is None:
+        K0 = 30
+        float(run(u, K0))
+        t0 = time.time()
+        float(run(u, K0))
+        dt_hint = (time.time() - t0) / K0
+    K = int(min(20000, max(50, target_s / max(dt_hint, 1e-9))))
+    float(run(u, K))  # warm
+    t1s, tKs = [], []
+    for _ in range(trials):
+        t0 = time.time()
+        float(run(u, 1))
+        t1s.append(time.time() - t0)
+        t0 = time.time()
+        float(run(u, K))
+        tKs.append(time.time() - t0)
+    return (min(tKs) - min(t1s)) / (K - 1)
 
 
 def main():
@@ -84,41 +79,64 @@ def main():
     from gdm import solvers
     from gdm.ops import laplace_apply_fn
 
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     results = {}
     for key, p, cells in (
         (1024, 3, (1024, 1024)),
         (2048, 3, (2048, 2048)),
+        (4096, 3, (4096, 4096)),
         ("p5_1024", 5, (1024, 1024)),
         ("p3_3d_160", 3, (160, 160, 160)),
     ):
         grid = Grid(p, cells, (0.0,) * len(cells), (1.0,) * len(cells))
-        apply_fn = laplace_apply_fn(grid, dtype=jnp.float32, use_pallas="never")
+        apply_fn = laplace_apply_fn(grid, dtype=jnp.float32,
+                                    use_pallas="never")
         u = jnp.ones(grid.nodes, jnp.float32)
-        dt = time_matvec(apply_fn, u, 300)
+        dt = timed_chain(lambda v: apply_fn(v) * 1e-3, u)
         results[key] = grid.n_nodes / dt
 
     pallas = None
-    if jax.devices()[0].platform in ("tpu", "axon"):
-        pallas = measure_pallas_subprocess()
+    if on_tpu:
+        pallas = {}
+        try:
+            from gdm.ops.pallas_stencil2 import best_padded_laplace
+            for key, p, n in ((1024, 3, 1024), (2048, 3, 2048),
+                              (4096, 3, 4096), ("p5_1024", 5, 1024),
+                              ("p5_2048", 5, 2048)):
+                grid = Grid(p, (n, n), (0.0, 0.0), (1.0, 1.0))
+                apply_pad, pad, unpad, _ = best_padded_laplace(
+                    grid, jnp.float32)
+                up = pad(jnp.ones(grid.nodes, jnp.float32))
+                dt = timed_chain(lambda v: apply_pad(v) * 1e-3, up)
+                pallas[key] = grid.n_nodes / dt
+        except Exception:
+            pallas = pallas or None
 
-    # CG Poisson solve at 1024^2 (fixed 100 iterations, f32)
+    # CG Poisson solve at 1024^2 (fixed 100 iterations, f32), timed as a
+    # differential chain of whole solves (b re-derived from x each rep so
+    # the loop cannot collapse)
     n = 1024
     grid = Grid(3, (n, n), (0.0, 0.0), (1.0, 1.0))
     apply_fn = laplace_apply_fn(grid, dtype=jnp.float32)
 
-    @jax.jit
-    def cgsolve(b):
+    def one_cg(b):
         x, info = solvers.cg(apply_fn, b, max_iter=100, rel_tol=1e-30)
-        return x, info
+        # renormalize so chained solves keep an O(1), never-underflowing
+        # rhs (a fixed scale factor hits f32 zero after ~13 reps and CG
+        # then exits early on a zero rhs)
+        return x * jax.lax.rsqrt(jnp.mean(x * x) + 1e-30)
 
     b = jnp.ones((n + 1, n + 1), jnp.float32)
-    cgsolve(b)[0].block_until_ready()
-    t0 = time.time()
-    x, info = cgsolve(b)
-    x.block_until_ready()
-    cg_time = time.time() - t0
+    cg_time = timed_chain(one_cg, b, trials=3, target_s=0.5)
 
-    # geometric-multigrid-preconditioned CG: solve to 1e-6 (f32) at 1024^2
+    @jax.jit
+    def cg_info(b):
+        _, info = solvers.cg(apply_fn, b, max_iter=100, rel_tol=1e-30)
+        return info["iterations"]
+
+    cg_iters = int(cg_info(b))
+
+    # geometric-multigrid-preconditioned CG to ~1e-6 at 1024^2
     from gdm.constraints import Constraints
     from gdm.functional import load_vector
     from gdm.multigrid import PoissonMultigrid
@@ -130,48 +148,43 @@ def main():
         lambda u: A.apply(u.astype(jnp.float32)))
     mg = PoissonMultigrid(grid)
     bb = cons.constrain_rhs(
-        load_vector(grid, lambda m, c: np.ones_like(m[0]))).astype(jnp.float32)
-
+        load_vector(grid, lambda m, c: np.ones_like(m[0]))).astype(
+            jnp.float32)
     pre = jax.jit(mg.precondition)
 
-    @jax.jit
-    def mgsolve(bb):
-        # fixed 5 MG-CG iterations (tolerance-free: the f32 while_loop
-        # stopping comparison behaves erratically under this TPU
-        # toolchain); 5 V-cycles reach ~1e-6 relative residual
-        return solvers.cg(mg_apply, bb, precond=pre, max_iter=5,
-                          rel_tol=0.0)
+    def one_mg(bb):
+        x, info = solvers.cg(mg_apply, bb, precond=pre, max_iter=5,
+                             rel_tol=0.0)
+        return x * jax.lax.rsqrt(jnp.mean(x * x) + 1e-30)
 
-    mgsolve(bb)[0].block_until_ready()
-    t0 = time.time()
-    xm, infom = mgsolve(bb)
-    xm.block_until_ready()
-    mg_time = time.time() - t0
-    mg_rel_res = float(infom["residual"]) / float(jnp.linalg.norm(bb))
+    mg_time = timed_chain(one_mg, bb, trials=3, target_s=0.5)
+
+    @jax.jit
+    def mg_info(bb):
+        _, info = solvers.cg(mg_apply, bb, precond=pre, max_iter=5,
+                             rel_tol=0.0)
+        return info["residual"]
+
+    mg_rel_res = float(mg_info(bb)) / float(jnp.linalg.norm(bb))
 
     # end-to-end flagship step: 2D cut wave RK4 (4 stages x mass-CG +
     # matrix-free cut stiffness RHS), f32, 128^2
     import __graft_entry__
 
     step, args = __graft_entry__.entry(n=128)
-    jstep = jax.jit(step)
-    out = jstep(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    iters_w = 20
-    state = args[2:]
-    for _ in range(iters_w):
-        state = jstep(args[0], args[1], *state)
-    jax.block_until_ready(state)
-    wave_step_s = (time.time() - t0) / iters_w
+    t0_, dt_, u0, v0 = args
+
+    def one_wave(uv):
+        u, v = uv
+        return step(t0_, dt_, u, v)
+
+    wave_step_s = timed_chain(one_wave, (u0, v0), trials=3, target_s=0.5)
 
     best_1024 = max(results[1024], (pallas or {}).get(1024, 0.0))
     best_2048 = max(results[2048], (pallas or {}).get(2048, 0.0))
+    best_4096 = max(results[4096], (pallas or {}).get(4096, 0.0))
+    best_p5 = max(results["p5_1024"], (pallas or {}).get("p5_1024", 0.0))
     target = TARGET_FRACTION * HBM_BYTES_PER_S / IDEAL_BYTES_PER_DOF
-    # The GD matvec at p=3 does 56 f32 flops/DoF: on v5e its speed of
-    # light is the VPU (~1.4e12 f32 flop/s -> ~25 GDoF/s), reached well
-    # before the HBM roofline that BASELINE.json's target assumes.
-    vpu_bound_dofs = 1.4e12 / 56.0
     print(json.dumps({
         "metric": "gdm_stiffness_matvec_dof_per_s_p3_2d_1024",
         "value": best_1024,
@@ -179,16 +192,18 @@ def main():
         "vs_baseline": best_1024 / target,
         "extra": {
             "matvec_2048_dof_per_s": best_2048,
+            "matvec_4096_dof_per_s": best_4096,
             "xla_1024_dof_per_s": results[1024],
-            "matvec_p5_2d_1024_dof_per_s": results["p5_1024"],
+            "matvec_p5_2d_1024_dof_per_s": best_p5,
+            "xla_p5_1024_dof_per_s": results["p5_1024"],
             "matvec_p3_3d_160_dof_per_s": results["p3_3d_160"],
             "pallas_dof_per_s": pallas,
             "cg100_1024_s": cg_time,
-            "cg_iterations": int(info["iterations"]),
+            "cg_iterations": cg_iters,
             "mg_cg_solve5_1024_s": mg_time,
             "mg_cg_rel_residual": mg_rel_res,
             "cut_wave_rk4_step_128_s": wave_step_s,
-            "vs_vpu_compute_bound_2048": best_2048 / vpu_bound_dofs,
+            "timing": "host-synced differential chain (see docstring)",
         },
     }))
 

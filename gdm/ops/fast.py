@@ -43,9 +43,9 @@ def laplace_apply_fn(grid: Grid, dtype=jnp.float32, use_pallas: str = None):
 
     if use_pallas in ("auto", "force") and dim == 2:
         try:
-            from .pallas_stencil import laplace_2d_pallas_fn
+            from .pallas_stencil2 import laplace_2d_pallas2_fn
 
-            fn = laplace_2d_pallas_fn(grid, dtype)
+            fn = laplace_2d_pallas2_fn(grid, dtype)
             if fn is not None or use_pallas == "force":
                 if fn is None:
                     raise RuntimeError("pallas kernel unavailable")
