@@ -157,9 +157,24 @@ def _exact_time_derivative(g, eps=1e-6):
 
 
 class WaveProblem:
-    def __init__(self, params: WaveParams, verbose: bool = True):
+    """Cut wave/heat/poisson solver (reference: applications/wave/include/
+    gdm/wave/problem.h).
+
+    ``mesh``: optional 1-D jax.sharding.Mesh.  When given, the explicit
+    time loops run their stencil-band operator applications (mass CG and
+    the u-linear stiffness part) domain-decomposed along grid axis 0 with
+    ppermute halo exchange — the TPU equivalent of the reference's MPI
+    slab partition (include/gdm/system.h:703-761).  The time-dependent
+    forcing terms (surface/boundary quadrature) stay single-program and
+    are partitioned by XLA's auto-SPMD.  Results are exactly
+    shard-count-invariant (tests/test_distributed_cut.py).
+    """
+
+    def __init__(self, params: WaveParams, verbose: bool = True,
+                 mesh=None):
         self.params = params
         self.verbose = verbose
+        self.mesh = mesh
         self.rows = {0: [], 1: []}  # postprocess rows per location slot
         dim = params.dim
         self.grid = Grid(
@@ -185,15 +200,26 @@ class WaveProblem:
         vals = self.params.exact_solution(pts, t)
         return jnp.asarray(np.asarray(vals).reshape(-1))
 
+    def _maybe_shard(self, stencil_op):
+        """Stencil apply, domain-decomposed over self.mesh if set."""
+        if self.mesh is None:
+            return stencil_op.apply
+        from ..dist.cut import sharded_stencil_apply
+
+        return sharded_stencil_apply(stencil_op, self.mesh)
+
     def _mass_solver(self, op: CutOperators):
         gm = self.params.ghost_parameter_M
         pp = self.params
         if pp.solver_name == "direct":
             return solvers.make_direct_solver(
                 lambda v: op.mass_apply(v, gm), self.grid.n_nodes)
-        from ..cut.stencil import best_solver_apply
+        from ..cut.stencil import assemble_stencil, best_solver_apply
 
-        apply_fn = best_solver_apply(op, "mass", gm)
+        if self.mesh is not None:
+            apply_fn = self._maybe_shard(assemble_stencil(op, "mass", gm))
+        else:
+            apply_fn = best_solver_apply(op, "mass", gm)
         diag = jnp.asarray(op.mass_diagonal(gm))
         pre = solvers.jacobi_preconditioner(diag)
 
@@ -283,7 +309,8 @@ class WaveProblem:
     def _rhs_fn(self, op: CutOperators):
         pp = self.params
         K = 2 * (self.grid.degree + 1) + 1
-        if self.grid.n_nodes * K**self.grid.dim <= 3e7:
+        if (self.mesh is not None
+                or self.grid.n_nodes * K**self.grid.dim <= 3e7):
             # the u-linear ("impl") part of the matrix-free RHS has stencil
             # sparsity: assemble it once; per-stage work = one stencil
             # sweep + the time-dependent forcing terms
@@ -297,6 +324,8 @@ class WaveProblem:
                 inactive_identity=False,
             )
 
+            S_apply = self._maybe_shard(S)
+
             def rhs(u, t):
                 forcing = op.compute_rhs(
                     u, t, False, rhs_fn=pp.function_rhs,
@@ -305,7 +334,7 @@ class WaveProblem:
                     gamma_A=pp.ghost_parameter_A,
                     nitsche_gamma=pp.nitsche_parameter,
                 )
-                return forcing - S.apply(u)
+                return forcing - S_apply(u)
 
             return rhs
 
