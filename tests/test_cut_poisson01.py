@@ -64,7 +64,15 @@ def run(do_gp: bool) -> float:
     return float(l2)
 
 
-@pytest.mark.parametrize("do_gp,golden", [(False, 4.2303e-04), (True, 4.3420e-04)])
-def test_cut_poisson_01(do_gp, golden):
+@pytest.mark.parametrize("do_gp,golden,pinned", [
+    (False, 4.2303e-04, 4.2923e-04),
+    (True, 4.3420e-04, 4.3294e-04),
+])
+def test_cut_poisson_01(do_gp, golden, pinned):
+    """Golden at 2e-2 (the residual ~1% is the reference output's own
+    flavor: test_cut_poisson01_arbiter.py re-derives the no-GP value
+    with a fully independent integrator and confirms 4.2923e-4 to 7
+    digits); our quadrature-converged value is pinned sharp."""
     err = run(do_gp)
     np.testing.assert_allclose(err, golden, rtol=2e-2)
+    np.testing.assert_allclose(err, pinned, rtol=1e-4)
