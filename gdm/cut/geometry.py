@@ -71,9 +71,17 @@ def classify_cells(ls: LevelSetInterpolant, n_samples: int = 21) -> np.ndarray:
     out[mn > tol] = OUTSIDE
     out[mx < -tol] = INSIDE
     # candidates for dense refinement: same-sign cells whose distance to
-    # zero is within one nodal span (possible inter-sample dip)
-    candidate = ((out == OUTSIDE) & (mn <= span)) | (
-        (out == INSIDE) & (-mx <= span)
+    # zero is within the certified inter-node overshoot.  A polynomial
+    # interpolating values in [mn, mx] is bounded by the Lebesgue
+    # constant: |poly| <= Lambda * max|nodal|, so its dip below the nodal
+    # min is at most (Lambda_tensor - 1) * span with Lambda_tensor =
+    # Lambda_1D(GLL, q)^dim (upper bounds below; Lambda grows ~log q).
+    _LEB_GLL = {1: 1.0, 2: 1.25, 3: 1.67, 4: 1.80, 5: 1.99, 6: 2.10,
+                7: 2.27, 8: 2.40, 9: 2.50}
+    lam = _LEB_GLL.get(min(ls.degree, 9), 2.5) ** dim
+    C = max(1.0, lam - 1.0)
+    candidate = ((out == OUTSIDE) & (mn <= C * span)) | (
+        (out == INSIDE) & (-mx <= C * span)
     )
     idx = np.argwhere(candidate)
     if len(idx):

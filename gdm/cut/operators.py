@@ -526,6 +526,12 @@ class CutOperators:
                 (nitsche_gamma / self.h_min) * V - Gn, g, w)
             y = self._scatter(y, win, rhsv)
         # (IV) domain-boundary Nitsche
+        if domain_dbc is not None and self.grid.dim > 2:
+            # _build_boundary_faces emits no faces for dim > 2, which
+            # would silently drop the domain-boundary terms
+            raise NotImplementedError(
+                "domain_dbc (cut domain-boundary Nitsche faces) is "
+                "implemented for dim <= 2 only")
         if domain_dbc is not None and len(self.b_win):
             V = jnp.asarray(self.b_V)
             G = jnp.asarray(self.b_G)

@@ -275,6 +275,28 @@ class WaveProblem:
         op = self.op_in
         ga, gn = pp.ghost_parameter_A, pp.nitsche_parameter
 
+        if pp.function_domain_dbc is not None:
+            # compute_rhs adds domain-boundary Nitsche RHS terms, so the
+            # LHS must carry the matching boundary-face Nitsche matrix
+            # (stiffness_matrix_apply has only the interface terms); the
+            # stencil-band assembly supports both
+            from ..cut.stencil import assemble_stencil
+
+            S = assemble_stencil(
+                op, "stiff", ga, gn,
+                with_nitsche=pp.function_interface_dbc is not None,
+                with_bdry_nitsche=True)
+            apply_fn = self._maybe_shard(S)
+            K = 2 * (self.grid.degree + 1) + 1
+            center = (K ** self.grid.dim - 1) // 2
+            diag_np = np.asarray(
+                S.band.reshape(self.grid.n_nodes, -1)[:, center])
+        else:
+            apply_fn = lambda v: op.stiffness_matrix_apply(  # noqa: E731
+                v, ga, gn,
+                with_nitsche=pp.function_interface_dbc is not None)
+            diag_np = self._stiffness_diag()
+
         @jax.jit
         def solve():
             zero = jnp.zeros(self.grid.n_nodes)
@@ -284,10 +306,9 @@ class WaveProblem:
                 domain_dbc=pp.function_domain_dbc,
                 nitsche_gamma=gn,
             )
-            diag = jnp.asarray(self._stiffness_diag())
+            diag = jnp.asarray(diag_np)
             x, info = solvers.cg(
-                lambda v: op.stiffness_matrix_apply(v, ga, gn,
-                                                    with_nitsche=pp.function_interface_dbc is not None),
+                apply_fn,
                 b, precond=solvers.jacobi_preconditioner(diag),
                 max_iter=pp.solver_max_iterations,
                 abs_tol=pp.solver_abs_tolerance,

@@ -24,37 +24,12 @@ pytestmark = _pytest.mark.skipif(
 
 
 def parse_golden():
-    """Returns list of (solution values, l2 error) per degree block."""
-    blocks = []
+    """Returns list of (solution values, l2 error) per degree block.
+
+    Golden block structure: CG iteration count, blank line, the 11
+    solution values one per line, then a "  t  err" line."""
     with open(GOLDEN) as f:
         txt = f.read()
-    # blocks separated by: iters, blank, 11 values, "  t  err" line
-    chunks = [c for c in txt.strip().split("\n\n") if c.strip()]
-    # structure: iter / values / errorline repeating
-    lines = [l for l in txt.splitlines()]
-    vals, errs = [], []
-    cur = []
-    for l in lines:
-        l = l.strip()
-        if not l:
-            continue
-        parts = l.split()
-        if len(parts) == 1:
-            if cur:
-                vals.append(cur)
-                cur = []
-            # iteration count line -> start new block (also first line)
-            if vals and len(vals[-1]) > 1:
-                pass
-            continue
-        if len(parts) == 2 and "." in parts[0]:
-            errs.append(float(parts[1]))
-            if cur:
-                vals.append(cur)
-                cur = []
-            continue
-    # simpler: extract numeric value lines of single numbers between markers
-    # fall back to regex-based block parse
     blocks = re.findall(
         r"^(\d+)\n\n((?:[-0-9.e+]+\n)+) ([0-9.]+)\s+([0-9.]+)\n",
         txt,
