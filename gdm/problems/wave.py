@@ -58,6 +58,9 @@ class WaveParams:
     level_set_fe_degree: int = 3
     level_set_function: Optional[Callable] = None
     output_fe_degree: int = 3
+    # when set, every postprocess step writes solution_{i,o}_<counter>.vtu
+    # into this directory (reference problem.h:617-657 writes one per step)
+    output_vtu_dir: Optional[str] = None
     dim: int = 1
 
 
@@ -248,6 +251,13 @@ class WaveProblem:
         self.rows[slot].append((counter, t, l2, l1, linf))
         if self.verbose:
             print("%5d %8.5f %14.8e %14.8e %14.8e" % (counter, t, l2, l1, linf))
+        if self.params.output_vtu_dir is not None:
+            import os
+
+            tag = "i" if location == INSIDE else "o"
+            path = os.path.join(self.params.output_vtu_dir,
+                                f"solution_{tag}_{counter}.vtu")
+            _write_step_vtu(self, np.asarray(u), t, path, location)
 
     # -- main dispatch --------------------------------------------------
     def run(self):
@@ -504,29 +514,38 @@ class WaveProblem:
         return y
 
 
-def write_solution_vtu(problem: "WaveProblem", path: str, location=INSIDE):
-    """VTU of the final solution + analytical field over the subdomain
-    (reference problem.h:617-657)."""
-    import numpy as np
-
+def _write_step_vtu(problem: "WaveProblem", sol, t, path: str,
+                    location=INSIDE):
+    """One postprocess-step VTU: solution + level_set + analytical_solution
+    over the subdomain's cells (reference problem.h:617-657)."""
     from ..cut.geometry import OUTSIDE as _OUT, INSIDE as _IN
     from ..io import DataOut
 
     pp = problem.params
-    sol = problem.final_solution
-    if isinstance(sol, tuple):
-        sol = sol[0 if location == _IN else 1]
     out = DataOut(problem.grid, pp.output_fe_degree)
     out.add_data_vector(np.asarray(sol), "solution")
-    ana = problem.interpolate_exact(pp.end_t)
-    out.add_data_vector(np.asarray(ana), "analytical_solution")
-    mesh = problem.grid.node_coords_mesh()
-    ls_vals = pp.level_set_function(mesh)
-    out.add_data_vector(np.asarray(ls_vals).reshape(-1), "level_set")
+    if pp.level_set_function is not None:
+        mesh = problem.grid.node_coords_mesh()
+        ls_vals = pp.level_set_function(mesh)
+        out.add_data_vector(np.asarray(ls_vals).reshape(-1), "level_set")
+    out.add_data_vector(
+        np.asarray(problem.interpolate_exact(t)), "analytical_solution")
     out.add_cell_data(np.zeros(problem.grid.n_cells), "ranks")
     inverse = _OUT if location == _IN else _IN
     out.set_cell_selection(problem.geo.locations_flat != inverse)
     out.write_vtu(path)
+
+
+def write_solution_vtu(problem: "WaveProblem", path: str, location=INSIDE):
+    """VTU of the final solution + analytical field over the subdomain
+    (reference problem.h:617-657)."""
+    from ..cut.geometry import INSIDE as _IN
+
+    sol = problem.final_solution
+    if isinstance(sol, tuple):
+        sol = sol[0 if location == _IN else 1]
+    _write_step_vtu(problem, np.asarray(sol), problem.params.end_t, path,
+                    location)
 
 
 def _interface_coupling(op_in: CutOperators, r0, r1, u0, u1, tau):

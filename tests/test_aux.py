@@ -111,3 +111,24 @@ def test_dataout_3d_cut_selection(tmp_path):
     n_sel = int((geo.locations_flat != OUTSIDE).sum())
     assert len(cells) == n_sel
     assert "</VTKFile>" in open(path).read()
+
+
+def test_per_step_vtu(tmp_path):
+    """With output_vtu_dir set, the wave time loop writes one
+    solution_{i,o}_<counter>.vtu per postprocess step (reference
+    problem.h:617-657 writes one per step)."""
+    from gdm.problems.wave import WaveProblem, make_preset
+
+    params = make_preset("heat-rk", 1)
+    params.n_subdivisions_1D = 10
+    params.end_t = 3 * params.cfl * (2.42 / 10) ** 2  # 3 steps
+    params.output_vtu_dir = str(tmp_path)
+    prob = WaveProblem(params, verbose=False)
+    prob.run()
+    names = sorted(os.listdir(tmp_path))
+    n_rows = len(prob.rows[0])
+    assert n_rows >= 3
+    assert names == sorted(f"solution_i_{k}.vtu" for k in range(n_rows))
+    txt = (tmp_path / "solution_i_0.vtu").read_text()
+    for field in ("solution", "level_set", "analytical_solution", "ranks"):
+        assert field in txt
