@@ -41,7 +41,7 @@ def laplace_apply_fn(grid: Grid, dtype=jnp.float32, use_pallas: str = None):
     bs, bm = _bands(grid, dtype)
     dim = grid.dim
 
-    if use_pallas in ("auto", "force") and dim == 2:
+    if use_pallas in ("auto", "force") and dim in (2, 3):
         try:
             from .pallas_stencil2 import laplace_2d_pallas2_fn
 

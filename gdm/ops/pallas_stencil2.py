@@ -287,6 +287,230 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
     return apply_padded, pad, unpad, (R_ext, W2)
 
 
+def make_padded_laplace3(grid: Grid, dtype=jnp.float32,
+                         tile_planes: int = None, interpret: bool = False):
+    """Fused single-pass Pallas kernel for the 3D GD Laplace matvec.
+
+    y = S0⊗M1⊗M2 + M0⊗S1⊗M2 + M0⊗M1⊗S2 (banded 1D factors; the
+    reference assembles the same operator cell-wise — it never runs 3D
+    cut problems, but the uncut operator is dim-generic).  TPU-native
+    formulation: fuse axes (0,1) into sublane rows r = i0*N1p + i1 with
+    N1p = roundup(N1, 8), keep axis 2 on lanes.  Then
+
+    * stage 1 (lanes):    A = U M2ᵀ, B = U S2ᵀ — shared cyclic lane
+      rolls exactly like the 2D kernel's column sweep;
+    * stage 2 (sublanes): P = M1·A, T = S1·A + M1·B — slice FMAs at
+      offsets k-p (within-plane); per-row coefficient columns are
+      periodic in r with period N1p, so one host-built (T_ext, K) tile
+      table serves every tile (tiles and the halo are plane-aligned);
+    * stage 3 (sublanes): y = S0·P + M0·T — slice FMAs at offsets
+      (k-p)*N1p (across planes).
+
+    Plane crossings of any slice are harmless: band tables store 0 for
+    out-of-range couplings, so rows read from a neighboring plane always
+    meet a zero coefficient.  Reads every u tile once from HBM, writes y
+    once, with double-buffered DMAs (same schedule as the 2D kernel).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert grid.dim == 3
+    p = grid.degree
+    N0, N1, N2 = grid.nodes
+    N1p = _round_up(N1, 8)
+    assert N1p >= N1 and N1p >= p
+    W2 = _round_up(N2 + 2 * p, 128)
+    K = 2 * p + 1
+    Hg = (p + 1) * N1p          # axis-0 halo, plane- and 8-aligned
+    pa = _round_up(p, 8)        # stage-2 guard rows on A/B buffers
+
+    if tile_planes is None:
+        # budget ~8 full-tile buffers under ~80 MB of VMEM
+        max_text = int(80e6 / (8 * W2 * jnp.dtype(dtype).itemsize))
+        tile_planes = max(1, min(N0, (max_text - 2 * Hg) // N1p))
+    n_tiles = -(-N0 // tile_planes)
+    tile_planes = -(-N0 // n_tiles)  # balance the last tile
+    tile_r = tile_planes * N1p
+    Rp = n_tiles * tile_r
+    R = N0 * N1p
+    R_ext = Rp + 2 * Hg
+    T_ext = tile_r + 2 * Hg
+    NB = 1 if n_tiles == 1 else 2
+
+    # ---- host-built coefficient tables --------------------------------
+    band0s = stiffness_1d(p, grid.cells[0], grid.h[0]).band  # (N0, K)
+    band0m = mass_1d(p, grid.cells[0], grid.h[0]).band
+    band1s = stiffness_1d(p, grid.cells[1], grid.h[1]).band
+    band1m = mass_1d(p, grid.cells[1], grid.h[1]).band
+    band2s = stiffness_1d(p, grid.cells[2], grid.h[2]).band
+    band2m = mass_1d(p, grid.cells[2], grid.h[2]).band
+
+    # lane tables (K, W2): b2x[l, p+j] = band2[j, l]
+    b2s = np.zeros((K, W2))
+    b2m = np.zeros((K, W2))
+    for l in range(K):
+        b2s[l, p : p + N2] = band2s[:, l]
+        b2m[l, p : p + N2] = band2m[:, l]
+
+    # stage-2 tile tables (T_ext, 128), periodic with period N1p
+    c1s = np.zeros((T_ext, 128))
+    c1m = np.zeros((T_ext, 128))
+    i1 = np.arange(T_ext) % N1p
+    valid1 = i1 < N1
+    c1s[valid1, :K] = band1s[i1[valid1]]
+    c1m[valid1, :K] = band1m[i1[valid1]]
+
+    # stage-3 global tables (Rp, 128): c0x[g] = band0[g // N1p], zero on
+    # i1-padding rows and beyond plane N0 (this also forces y = 0 there)
+    c0s = np.zeros((Rp, 128))
+    c0m = np.zeros((Rp, 128))
+    g0 = np.arange(Rp) // N1p
+    valid0 = (g0 < N0) & ((np.arange(Rp) % N1p) < N1)
+    c0s[valid0, :K] = band0s[g0[valid0]]
+    c0m[valid0, :K] = band0m[g0[valid0]]
+
+    c1s, c1m = jnp.asarray(c1s, dtype), jnp.asarray(c1m, dtype)
+    c0s, c0m = jnp.asarray(c0s, dtype), jnp.asarray(c0m, dtype)
+    b2s, b2m = jnp.asarray(b2s, dtype), jnp.asarray(b2m, dtype)
+
+    def kernel(u_hbm, c0s_ref, c0m_ref, c1s_ref, c1m_ref, b2s_ref, b2m_ref,
+               y_hbm, bufs, ytile, zrows, Abuf, Bbuf, Pbuf, Tbuf,
+               sem_in, sem_out, sem_z):
+        i = pl.program_id(0)
+
+        def in_copy(t, slot):
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(pl.multiple_of(t * tile_r, 8), T_ext), :],
+                bufs.at[slot], sem_in.at[slot])
+
+        def out_copy(t, slot):
+            return pltpu.make_async_copy(
+                ytile.at[slot],
+                y_hbm.at[pl.ds(pl.multiple_of(Hg + t * tile_r, 8),
+                               tile_r), :],
+                sem_out.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+            if n_tiles > 1:
+                in_copy(1, 1).start()
+            # output guard rows, zeroed once per call
+            zrows[...] = jnp.zeros((Hg, W2), dtype)
+            for lo in (0, Hg + Rp):
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), Hg), :],
+                    sem_z).start()
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), Hg), :],
+                    sem_z).wait()
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            in_copy(i + 1, (i + 1) % 2).start()
+
+        slot = i % NB
+        in_copy(i, slot).wait()
+
+        # stage 1 (lanes, axis 2): A = U M2ᵀ, B = U S2ᵀ, shared rolls
+        uw = bufs[slot]
+        A = jnp.zeros((T_ext, W2), dtype)
+        B = jnp.zeros((T_ext, W2), dtype)
+        for l in range(K):
+            shift = (p - l) % W2
+            r = pltpu.roll(uw, shift, axis=1)
+            A = A + b2m_ref[l : l + 1, :] * r
+            B = B + b2s_ref[l : l + 1, :] * r
+        Abuf[pa : pa + T_ext, :] = A
+        Bbuf[pa : pa + T_ext, :] = B
+
+        # stage 2 (sublanes, axis 1): P = M1 A, T = S1 A + M1 B.
+        # Rows [0, N1p) and [T_ext - N1p, T_ext) of P/T may read the
+        # uninitialized A/B guards — stage 3 never reads them.
+        P = jnp.zeros((T_ext, W2), dtype)
+        T = jnp.zeros((T_ext, W2), dtype)
+        for k in range(K):
+            off = pa + k - p
+            a = Abuf[off : off + T_ext, :]
+            b = Bbuf[off : off + T_ext, :]
+            P = P + c1m_ref[:, k : k + 1] * a
+            T = T + c1s_ref[:, k : k + 1] * a + c1m_ref[:, k : k + 1] * b
+        Pbuf[...] = P
+        Tbuf[...] = T
+
+        # stage 3 (sublanes, axis 0): y = S0 P + M0 T at plane strides
+        acc = jnp.zeros((tile_r, W2), dtype)
+        for k in range(K):
+            off = Hg + (k - p) * N1p
+            acc = acc + c0s_ref[:, k : k + 1] * Pbuf[off : off + tile_r, :]
+            acc = acc + c0m_ref[:, k : k + 1] * Tbuf[off : off + tile_r, :]
+
+        @pl.when(i >= 2)
+        def _():
+            out_copy(i - 2, slot).wait()
+
+        ytile[slot] = acc
+        out_copy(i, slot).start()
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            out_copy(i, slot).wait()
+            if n_tiles > 1:
+                out_copy(i - 1, (i - 1) % 2).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_ext, W2), dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_r, 128), lambda i: (i, 0)),
+            pl.BlockSpec((tile_r, 128), lambda i: (i, 0)),
+            pl.BlockSpec((T_ext, 128), lambda i: (0, 0)),
+            pl.BlockSpec((T_ext, 128), lambda i: (0, 0)),
+            pl.BlockSpec((K, W2), lambda i: (0, 0)),
+            pl.BlockSpec((K, W2), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NB, T_ext, W2), dtype),
+            pltpu.VMEM((NB, tile_r, W2), dtype),
+            pltpu.VMEM((Hg, W2), dtype),
+            pltpu.VMEM((T_ext + 2 * pa, W2), dtype),
+            pltpu.VMEM((T_ext + 2 * pa, W2), dtype),
+            pltpu.VMEM((T_ext, W2), dtype),
+            pltpu.VMEM((T_ext, W2), dtype),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 7 * K * Rp * W2,
+            bytes_accessed=2 * 4 * Rp * W2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def apply_padded(u_pad):
+        return call(u_pad, c0s, c0m, c1s, c1m, b2s, b2m)
+
+    def pad(u):
+        u3 = u.reshape(N0, N1, N2).astype(dtype)
+        tmp = jnp.zeros((N0, N1p, W2), dtype)
+        tmp = jax.lax.dynamic_update_slice(tmp, u3, (0, 0, p))
+        out = jnp.zeros((R_ext, W2), dtype)
+        return jax.lax.dynamic_update_slice(out, tmp.reshape(R, W2), (Hg, 0))
+
+    def unpad(u_pad):
+        return u_pad[Hg : Hg + R].reshape(N0, N1p, W2)[:, :N1, p : p + N2]
+
+    return apply_padded, pad, unpad, (R_ext, W2)
+
+
 def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False):
     """Auto-select kernel mode/tiling by size (v5e-measured heuristics):
 
@@ -296,7 +520,11 @@ def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False):
     * otherwise tiled with the row stage on the MXU (rows='mxu'), whose
       throughput is p-independent and ~40% ahead of the multi-pass XLA
       path at 4096^2.
+
+    dim == 3 dispatches to the fused 3D kernel.
     """
+    if grid.dim == 3:
+        return make_padded_laplace3(grid, dtype, interpret=interpret)
     N0, N1 = grid.nodes
     p = grid.degree
     H = _round_up(p, 8)
@@ -312,8 +540,8 @@ def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False):
 
 
 def laplace_2d_pallas2_fn(grid: Grid, dtype=jnp.float32):
-    """(N0, N1) -> (N0, N1) apply built on the auto-selected padded
-    kernel, or None if Pallas TPU is unavailable."""
+    """Node-lattice -> node-lattice apply built on the auto-selected
+    padded kernel (2D or 3D), or None if Pallas TPU is unavailable."""
     try:
         if jax.devices()[0].platform not in ("tpu", "axon"):
             return None

@@ -89,14 +89,25 @@ def identity_banded(n_nodes: int, p: int) -> Banded1D:
 
 
 def assemble_1d(
-    p: int, n_cells: int, h: float, di: int, dj: int, nq: int = None
+    p: int, n_cells: int, h: float, di: int, dj: int, nq: int = None,
+    jac=None,
 ) -> Banded1D:
-    """Assemble the 1D GD matrix  sum_cells h^(1-di-dj) * local(cat(cell)).
+    """Assemble the 1D GD matrix  sum_cells J_c^(1-di-dj) * local(cat(cell)).
 
     di/dj are the derivative orders on test/trial functions:
     (0,0)=mass, (1,1)=stiffness, (0,1)=advection (v, u').
+
+    ``jac`` (optional, (n_cells,)): per-cell physical cell widths dx/dxi
+    of a piecewise-linear mesh deformation — the semantics of the
+    reference's vertex-evaluated ``MappingQCache(1)`` mapping
+    (applications/wave/include/gdm/wave/discretization.h:57-74).  The GD
+    basis lives on the reference index grid; the mapping enters the
+    integrals only through the Jacobian.  Defaults to the uniform ``h``.
     """
-    A = local_matrices_1d(p, di, dj, nq) * h ** (1 - di - dj)
+    A = local_matrices_1d(p, di, dj, nq)
+    pw = 1 - di - dj
+    scale = (np.full(n_cells, float(h)) if jac is None
+             else np.asarray(jac, float)) ** pw
     off = offsets_1d(n_cells, p)
     cat = categories_1d(n_cells, p)
     m = p + 1
@@ -105,7 +116,7 @@ def assemble_1d(
     Il, Jl = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
     rows = off[:, None, None] + Il[None]  # (n, m, m)
     cols_rel = (Jl - Il + p)[None].repeat(n_cells, axis=0)
-    np.add.at(band, (rows, cols_rel), A[cat])
+    np.add.at(band, (rows, cols_rel), A[cat] * scale[:, None, None])
     return Banded1D(band, p)
 
 

@@ -71,17 +71,35 @@ def build_ev_operators(fe_degree: int = 5, n_subdivisions_1D: int = 100,
                        dim: int = 1):
     """Replicates wave-ev's parameter derivation (wave-ev.cc:146-297):
     --alpha places the interface at fraction alpha inside its cell by
-    adjusting the radius; --alpha with --align snaps the interface onto
-    the domain boundary nodes (the reference achieves this with a
-    degenerate clamping mapping + radius=2.0 so nothing is cut; here the
-    equivalent is the shrunk body-fitted domain with an all-inside level
-    set)."""
+    adjusting the radius; --alpha with --align additionally deforms the
+    mesh so the interface coincides with the outermost mesh node.  The
+    reference does this with a clamping ``mapping_q_cache_function``
+    (|x| <- min(|x|, radius), wave-ev.cc:252-259) + level-set radius 2.0
+    (nothing cut); since the domain is truncated to the cells covered by
+    the radius, the clamp compresses exactly the two outermost cells by
+    the factor (1 - alpha) and leaves every interior cell untouched —
+    implemented here as per-cell-Jacobian 1D assembly
+    (ops1d.assemble_1d(jac=...)), dim=1 like the reference tool
+    (wave-ev.cc:306)."""
     h = 1.21 / (n_subdivisions_1D / 2)
     if (alpha >= 0.0) and align:
-        # body-fitted reference point: domain shrinks to the cells covered
-        # by the (snapped) radius, and nothing is cut
+        assert dim == 1, "--align is a 1D study (wave-ev.cc:306)"
         n_rel = int(2 * np.floor(radius / h))
-        radius = 2.0  # level set strictly negative on the domain
+        radius_snap = h * (n_rel / 2 - alpha)
+        left = -1.21 / n_subdivisions_1D * n_rel
+        right = +1.21 / n_subdivisions_1D * n_rel
+        grid = Grid(fe_degree, (n_rel,), (left,), (right,))
+        # clamped mapping: outer cells end at +-radius_snap
+        jac = np.full(n_rel, grid.h[0])
+        jac[0] = jac[-1] = grid.h[0] * (1.0 - alpha)
+        from ..ops1d import assemble_1d
+
+        # nothing is intersected (level-set radius 2.0 > |domain|), so
+        # the cut mass/stiffness reduce to the mapped uncut integrals:
+        # no ghost-penalty faces, no Nitsche terms, no inactive dofs
+        M = assemble_1d(fe_degree, n_rel, grid.h[0], 0, 0, jac=jac).full()
+        S = assemble_1d(fe_degree, n_rel, grid.h[0], 1, 1, jac=jac).full()
+        return grid, None, M, S
     elif alpha >= 0.0:
         n_rel = int(2 * np.floor(radius / h))
         radius = h * (n_rel / 2 - alpha)

@@ -63,9 +63,13 @@ def test_advection_02_weak_bc():
     assert len(rows3) == 21 and len(rows5) == 21  # dt=0.005, 20 steps
     final3 = rows3[-1][2]
     final5 = rows5[-1][2]
-    # golden scale: weak p=3 final 1.033e-3, weak p=5 final 8.705e-5
+    # golden scale: weak p=3 final 1.033e-3, weak p=5 final 8.705e-5 —
+    # same magnitude; current behavior pinned SHARP below (regression pin)
     assert 5e-4 < final3 < 2e-3, final3
     assert 4e-5 < final5 < 2e-4, final5
+    np.testing.assert_allclose(final3, 1.0837437584996e-3, rtol=1e-7)
+    np.testing.assert_allclose(final5, 9.2521375336219e-5, rtol=1e-7)
     # error stays bounded over the run (stable weak BC)
     assert max(r[2] for r in rows3) < 2e-3
-    assert max(r[2] for r in rows5) < 2e-4
+    np.testing.assert_allclose(
+        max(r[2] for r in rows5), 9.4844188424759e-5, rtol=1e-7)

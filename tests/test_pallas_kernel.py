@@ -57,3 +57,50 @@ def test_padded_layout_closed_under_apply():
     y_ref = np.asarray(f(f(jnp.asarray(u))))
     np.testing.assert_allclose(y2[H : H + N0, p : p + N1], y_ref,
                                rtol=1e-12, atol=1e-10)
+
+
+CASES_3D = [
+    (3, (12, 12, 12), 4),    # multi-tile planes
+    (3, (12, 12, 12), None), # auto tiling (single tile at this size)
+    (5, (10, 9, 11), 3),     # anisotropic node counts, one-sided bands
+    (7, (9, 8, 10), None),
+]
+
+
+@pytest.mark.parametrize("p,cells,tile_planes", CASES_3D)
+def test_3d_matches_xla_operator(p, cells, tile_planes):
+    from gdm.ops.pallas_stencil2 import make_padded_laplace3
+
+    grid = Grid(p, cells, (0.0, 0.0, 0.0), (1.0, 2.0, 1.5))
+    f = laplace_apply_fn(grid, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    u = rng.standard_normal(grid.nodes)
+    y_ref = np.asarray(f(jnp.asarray(u)))
+    ap, pad, unpad, shape = make_padded_laplace3(
+        grid, jnp.float64, tile_planes=tile_planes, interpret=True)
+    y = np.asarray(unpad(ap(pad(jnp.asarray(u)))))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-11)
+
+
+def test_3d_padded_layout_closed_under_apply():
+    from gdm.ops.pallas_stencil2 import make_padded_laplace3
+
+    p = 3
+    grid = Grid(p, (12, 12, 12), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+    ap, pad, unpad, shape = make_padded_laplace3(
+        grid, jnp.float64, tile_planes=5, interpret=True)
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal(grid.nodes)
+    y2 = np.asarray(ap(ap(pad(jnp.asarray(u)))))
+    # everything outside the data block must be exactly zero
+    mask = np.ones(shape, bool)
+    N0, N1, N2 = grid.nodes
+    N1p = _round_up(N1, 8)
+    Hg = (p + 1) * N1p
+    blk = mask[Hg : Hg + N0 * N1p].reshape(N0, N1p, shape[1])
+    blk[:, :N1, p : p + N2] = False
+    assert np.max(np.abs(y2[mask])) == 0.0
+    f = laplace_apply_fn(grid, dtype=jnp.float64)
+    y_ref = np.asarray(f(f(jnp.asarray(u))))
+    got = y2[Hg : Hg + N0 * N1p].reshape(N0, N1p, -1)[:, :N1, p : p + N2]
+    np.testing.assert_allclose(got, y_ref, rtol=1e-12, atol=1e-9)
