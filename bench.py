@@ -16,10 +16,12 @@ noise (round 1's 14.1 GDoF/s was such an artifact).  Every measurement
 here instead (a) chains K applications inside ONE jitted
 ``lax.fori_loop`` whose scalar reduction is forced to the host
 (``float(...)`` round-trip = true completion), and (b) reports the
-differential (t(K) - t(1)) / (K - 1) over min-of-trials, which cancels
-the ~30 ms host round-trip and its variance.  Validated against
-known-cost primitives (8192^2 elementwise pass: 599 GB/s; 8192^3 f32
-HIGHEST matmul: 30.7 Tflop/s; DEFAULT: 146 Tflop/s).
+differential (t(4K) - t(K)) / 3K over min-of-trials with K grown until
+the 4K chain takes >= 0.25 s, which cancels the ~30 ms host round-trip,
+its variance, AND per-program dispatch overhead (see timed_chain).
+Validated against known-cost primitives (8192^2 elementwise pass:
+599 GB/s; 8192^3 f32 HIGHEST matmul: 30.7 Tflop/s; DEFAULT:
+146 Tflop/s).
 
 Note sizes <= 2048^2 run with the loop state VMEM-resident (XLA keeps
 the carried array on-chip), which is the true steady state of solver
@@ -37,11 +39,17 @@ IDEAL_BYTES_PER_DOF = 8  # read u (f32) + write y (f32)
 TARGET_FRACTION = 0.70
 
 
-def timed_chain(apply_fn, u, dt_hint=None, trials=4, target_s=0.2):
+def timed_chain(apply_fn, u, dt_hint=None, trials=4, target_s=0.25):
     """Differential host-synced timing of one application of apply_fn.
 
-    Chains K apps in one jitted fori_loop ending in a host-forced scalar;
-    returns (t_min(K) - t_min(1)) / (K - 1).
+    Chains K apps in one jitted fori_loop ending in a host-forced scalar
+    and returns (t_min(4K) - t_min(K)) / (3K), growing K until the 4K
+    chain takes >= target_s.  Differencing two LARGE chains cancels both
+    the ~30 ms host round-trip AND per-program dispatch overhead; the
+    earlier (t(K) - t(1))/(K-1) form was biased by several ms of extra
+    overhead on the K=1 program, which at small K inflated rates by up
+    to several-fold (a k=1600/6400 sweep on the 2D kernel shows t(K) =
+    30 ms + K*33 us while t(1) alone is 37 ms).
     """
     import jax
     import jax.numpy as jnp
@@ -51,24 +59,27 @@ def timed_chain(apply_fn, u, dt_hint=None, trials=4, target_s=0.2):
         y = jax.lax.fori_loop(0, k, lambda i, v: apply_fn(v), u)
         return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(y))
 
-    float(run(u, 1))  # compile
-    if dt_hint is None:
-        K0 = 30
-        float(run(u, K0))
+    K = 64
+    if dt_hint is not None:
+        K = int(max(64, target_s / max(dt_hint, 1e-9) / 4))
+    while True:
+        float(run(u, K))       # compile
+        float(run(u, 4 * K))   # compile
         t0 = time.time()
-        float(run(u, K0))
-        dt_hint = (time.time() - t0) / K0
-    K = int(min(20000, max(50, target_s / max(dt_hint, 1e-9))))
-    float(run(u, K))  # warm
-    t1s, tKs = [], []
+        float(run(u, 4 * K))
+        t4 = time.time() - t0
+        if t4 >= target_s or K >= 65536:
+            break
+        K = min(65536, K * max(2, int(target_s / max(t4, 1e-9))))
+    tKs, t4s = [], []
     for _ in range(trials):
-        t0 = time.time()
-        float(run(u, 1))
-        t1s.append(time.time() - t0)
         t0 = time.time()
         float(run(u, K))
         tKs.append(time.time() - t0)
-    return (min(tKs) - min(t1s)) / (K - 1)
+        t0 = time.time()
+        float(run(u, 4 * K))
+        t4s.append(time.time() - t0)
+    return (min(t4s) - min(tKs)) / (3 * K)
 
 
 def main():

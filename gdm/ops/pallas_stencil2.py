@@ -42,7 +42,8 @@ def _round_up(x, m):
 
 
 def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
-                         interpret: bool = False, rows: str = "vpu"):
+                         interpret: bool = False, rows: str = "vpu",
+                         mxu_precision=None):
     """Returns (apply_padded, pad, unpad, padded_shape) for the 2D GD
     Laplace at any odd degree p <= 15.
 
@@ -60,7 +61,7 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
     assert p <= 15
     H = _round_up(p, 8)  # row halo/guard, multiple of 8 for aligned DMAs
     N0, N1 = grid.nodes
-    if rows == "mxu":
+    if rows in ("mxu", "mxu3"):
         tile_r = min(tile_r, 128)
     tile_r = min(tile_r, _round_up(N0, 8))
     Rp = _round_up(N0, tile_r)
@@ -84,7 +85,7 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
     for l in range(K):
         b1s[l, p : p + N1] = band1s[:, l]
         b1m[l, p : p + N1] = band1m[:, l]
-    if rows == "mxu":
+    if rows in ("mxu", "mxu3"):
         # dense per-tile row matrices for the MXU path:
         # y_tile = Bcat_i @ [V; W],  Bcat_i = [S0 window | M0 window]
         Bcat = np.zeros((n_tiles, tile_r, 2 * T_ext))
@@ -93,8 +94,22 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
                 for k in range(K):
                     Bcat[i, r, H - p + k + r] = b0s[i * tile_r + r, k]
                     Bcat[i, r, T_ext + H - p + k + r] = b0m[i * tile_r + r, k]
-        row_tables = [jnp.asarray(Bcat.reshape(n_tiles * tile_r, 2 * T_ext),
-                                  dtype)]
+        Bflat = Bcat.reshape(n_tiles * tile_r, 2 * T_ext)
+        # bf16x3 split: B = B_hi + B_lo exactly captures ~16 mantissa
+        # bits; with the same split of [V; W] in-kernel, three DEFAULT
+        # (bf16) MXU passes reproduce the f32 product to ~1e-6 while
+        # running ~3x faster than HIGHEST (6-pass) — Mosaic has no
+        # native HIGH (bf16x3) dot, so stage the passes by hand.  Under
+        # f64 (interpret-mode tests) split to f32 instead: same code
+        # path, dtype-scaled accuracy.
+        split_dt = jnp.float32 if dtype == jnp.float64 else jnp.bfloat16
+        if rows == "mxu3":
+            B_hi = Bflat.astype(dtype).astype(split_dt)
+            B_lo = (Bflat.astype(dtype)
+                    - np.asarray(B_hi, dtype)).astype(split_dt)
+            row_tables = [jnp.asarray(B_hi), jnp.asarray(B_lo)]
+        else:
+            row_tables = [jnp.asarray(Bflat, dtype)]
     else:
         row_tables = [jnp.asarray(b0s, dtype), jnp.asarray(b0m, dtype)]
     b1s = jnp.asarray(b1s, dtype)
@@ -142,8 +157,23 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
             W = W + b1s_ref[l : l + 1, :] * r
         return V, W
 
+    # rolled-chunk row granularity: keeps Mosaic's live vector set to one
+    # chunk (full-tile SSA values spill to VMEM once buffers exceed a few
+    # MB — measured 79-133 MB of spill slots on the 3D variant).  Small
+    # tiles skip the chunk loops entirely (whole-tile values are faster).
+    CS = 512
+    whole_tile_values = T_ext * W2 * jnp.dtype(dtype).itemsize <= 6e6
+
+    def staged(total, body, cs=CS):
+        n_full = total // cs
+        if n_full:
+            jax.lax.fori_loop(
+                0, n_full, lambda c, x: (body(c * cs, cs), x)[1], 0)
+        if total % cs:
+            body(n_full * cs, total % cs)
+
     def kernel_vpu(u_hbm, b0s_ref, b0m_ref, b1s_ref, b1m_ref, y_hbm,
-                   bufs, ytile, zrows, sem_in, sem_out, sem_z):
+                   bufs, ytile, zrows, Vbuf, Wbuf, sem_in, sem_out, sem_z):
         i = pl.program_id(0)
         in_copy, out_copy = make_helpers(u_hbm, y_hbm, bufs, ytile,
                                          sem_in, sem_out)
@@ -165,20 +195,57 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
         def _():
             write_guard_zeros(y_hbm, zrows, sem_z)
 
-        V, W = stage1(bufs[slot], b1s_ref, b1m_ref)
-        # rows: y = S0 V + M0 W via sublane-offset slices
-        acc = jnp.zeros((tile_r, W2), dtype)
-        for k in range(K):
-            off = H - p + k
-            acc = acc + b0s_ref[:, k : k + 1] * V[off : off + tile_r, :]
-            acc = acc + b0m_ref[:, k : k + 1] * W[off : off + tile_r, :]
+        if whole_tile_values:
+            # small tiles: whole-tile SSA values (no chunk-loop overhead;
+            # measured 39.8 vs 29.7 GDoF/s at 1024^2 single-tile)
+            V, W = stage1(bufs[slot], b1s_ref, b1m_ref)
 
-        @pl.when(i >= 2)
-        def _():
-            out_copy(i - 2, slot).wait()
+            @pl.when(i >= 2)
+            def _():
+                out_copy(i - 2, slot).wait()
 
-        ytile[slot] = acc
-        out_copy(i, slot).start()
+            acc = jnp.zeros((tile_r, W2), dtype)
+            for k in range(K):
+                off = H - p + k
+                acc = acc + b0s_ref[:, k : k + 1] * V[off : off + tile_r, :]
+                acc = acc + b0m_ref[:, k : k + 1] * W[off : off + tile_r, :]
+            ytile[slot] = acc
+            out_copy(i, slot).start()
+        else:
+            # columns: V = U M1^T, W = U S1^T via shared lane rolls
+            def stage1_chunk(s, ln):
+                uc = bufs[slot, pl.ds(s, ln), :]
+                v = jnp.zeros((ln, W2), dtype)
+                w = jnp.zeros((ln, W2), dtype)
+                for l in range(K):
+                    r = pltpu.roll(uc, (p - l) % W2, axis=1)
+                    v = v + b1m_ref[l : l + 1, :] * r
+                    w = w + b1s_ref[l : l + 1, :] * r
+                Vbuf[pl.ds(s, ln), :] = v
+                Wbuf[pl.ds(s, ln), :] = w
+
+            staged(T_ext, stage1_chunk)
+
+            @pl.when(i >= 2)
+            def _():
+                out_copy(i - 2, slot).wait()
+
+            # rows: y = S0 V + M0 W via sublane-offset slices
+            def stage2_chunk(s, ln):
+                v_win = Vbuf[pl.ds(s, ln + 2 * H), :]
+                w_win = Wbuf[pl.ds(s, ln + 2 * H), :]
+                cs_ = b0s_ref[pl.ds(s, ln), :]
+                cm_ = b0m_ref[pl.ds(s, ln), :]
+                acc = jnp.zeros((ln, W2), dtype)
+                for k in range(K):
+                    off = H - p + k
+                    acc = acc + cs_[:, k : k + 1] * v_win[off : off + ln, :]
+                    acc = acc + cm_[:, k : k + 1] * w_win[off : off + ln, :]
+                ytile[slot, pl.ds(s, ln), :] = acc
+
+            staged(tile_r, stage2_chunk)
+
+            out_copy(i, slot).start()
 
         @pl.when(i == n_tiles - 1)
         def _():
@@ -217,7 +284,7 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
             Bcat_ref[:], vw[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(mxu_precision or jax.lax.Precision.HIGHEST),
         )
 
         @pl.when(i >= 2)
@@ -233,7 +300,70 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
             if n_tiles > 1:
                 out_copy(i - 1, (i - 1) % 2).wait()
 
-    if rows == "mxu":
+    def kernel_mxu3(u_hbm, bhi_ref, blo_ref, b1s_ref, b1m_ref, y_hbm,
+                    bufs, ytile, zrows, vwhi, vwlo, sem_in, sem_out, sem_z):
+        # bf16x3 row stage: acc = Bhi@Zhi + Bhi@Zlo + Blo@Zhi with
+        # Z = [V; W] split as Z ~ Zhi + Zlo (the dropped Blo@Zlo term is
+        # O(2^-16) relative); every pass runs at DEFAULT (1-pass bf16)
+        # MXU speed, vs 6 passes for HIGHEST at the same accuracy class
+        # (measured rel_err ~1e-7 both).
+        i = pl.program_id(0)
+        in_copy, out_copy = make_helpers(u_hbm, y_hbm, bufs, ytile,
+                                         sem_in, sem_out)
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+            if n_tiles > 1:
+                in_copy(1, 1).start()
+            write_guard_zeros(y_hbm, zrows, sem_z)
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            in_copy(i + 1, (i + 1) % 2).start()
+
+        slot = i % NB
+        in_copy(i, slot).wait()
+        V, W = stage1(bufs[slot], b1s_ref, b1m_ref)
+        Vhi = V.astype(split_dt)
+        Whi = W.astype(split_dt)
+        vwhi[0:T_ext, :] = Vhi
+        vwhi[T_ext : 2 * T_ext, :] = Whi
+        vwlo[0:T_ext, :] = (V - Vhi.astype(dtype)).astype(split_dt)
+        vwlo[T_ext : 2 * T_ext, :] = (W - Whi.astype(dtype)).astype(
+            split_dt)
+        dn = (((1,), (0,)), ((), ()))
+        acc = jax.lax.dot_general(
+            bhi_ref[:], vwhi[:], dimension_numbers=dn,
+            preferred_element_type=dtype)
+        acc = acc + jax.lax.dot_general(
+            bhi_ref[:], vwlo[:], dimension_numbers=dn,
+            preferred_element_type=dtype)
+        acc = acc + jax.lax.dot_general(
+            blo_ref[:], vwhi[:], dimension_numbers=dn,
+            preferred_element_type=dtype)
+
+        @pl.when(i >= 2)
+        def _():
+            out_copy(i - 2, slot).wait()
+
+        ytile[slot] = acc
+        out_copy(i, slot).start()
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            out_copy(i, slot).wait()
+            if n_tiles > 1:
+                out_copy(i - 1, (i - 1) % 2).wait()
+
+    if rows == "mxu3":
+        table_specs = [pl.BlockSpec((tile_r, 2 * T_ext), lambda i: (i, 0)),
+                       pl.BlockSpec((tile_r, 2 * T_ext), lambda i: (i, 0))]
+        extra_scratch = [pltpu.VMEM((2 * T_ext, W2), split_dt),
+                         pltpu.VMEM((2 * T_ext, W2), split_dt)]
+        kernel = kernel_mxu3
+        grid_steps = n_tiles
+    elif rows == "mxu":
         table_specs = [pl.BlockSpec((tile_r, 2 * T_ext), lambda i: (i, 0))]
         extra_scratch = [pltpu.VMEM((2 * T_ext, W2), dtype)]
         kernel = kernel_mxu
@@ -241,7 +371,9 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
     else:
         table_specs = [pl.BlockSpec((tile_r, 128), lambda i: (i, 0)),
                        pl.BlockSpec((tile_r, 128), lambda i: (i, 0))]
-        extra_scratch = []
+        vw_rows = 8 if whole_tile_values else T_ext  # unused when whole-tile
+        extra_scratch = [pltpu.VMEM((vw_rows, W2), dtype),
+                         pltpu.VMEM((vw_rows, W2), dtype)]
         kernel = kernel_vpu
         grid_steps = n_tiles
 
@@ -288,7 +420,8 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
 
 
 def make_padded_laplace3(grid: Grid, dtype=jnp.float32,
-                         tile_planes: int = None, interpret: bool = False):
+                         tile_planes: int = None, interpret: bool = False,
+                         _stages: int = 3):
     """Fused single-pass Pallas kernel for the 3D GD Laplace matvec.
 
     y = S0⊗M1⊗M2 + M0⊗S1⊗M2 + M0⊗M1⊗S2 (banded 1D factors; the
@@ -325,8 +458,9 @@ def make_padded_laplace3(grid: Grid, dtype=jnp.float32,
     pa = _round_up(p, 8)        # stage-2 guard rows on A/B buffers
 
     if tile_planes is None:
-        # budget ~8 full-tile buffers under ~80 MB of VMEM
-        max_text = int(80e6 / (8 * W2 * jnp.dtype(dtype).itemsize))
+        # budget ~8 full-tile buffers under ~60 MB of VMEM (the c0/c1
+        # coefficient inputs are double-buffered by pallas on top)
+        max_text = int(60e6 / (8 * W2 * jnp.dtype(dtype).itemsize))
         tile_planes = max(1, min(N0, (max_text - 2 * Hg) // N1p))
     n_tiles = -(-N0 // tile_planes)
     tile_planes = -(-N0 // n_tiles)  # balance the last tile
@@ -412,44 +546,89 @@ def make_padded_laplace3(grid: Grid, dtype=jnp.float32,
         slot = i % NB
         in_copy(i, slot).wait()
 
+        # All three stages run as ROLLED fori_loops over fixed-size row
+        # chunks, reading/writing the VMEM scratch refs through 8-aligned
+        # dynamic windows with static intra-window slices.  Full-buffer
+        # (or even unrolled per-chunk) SSA values make Mosaic's register
+        # allocator materialize every temporary at once (measured 79-133
+        # MB of spill slots); the rolled loop keeps one chunk live.
+        CS = 512
+        # stage 3's windows carry a 2*p*N1p-row halo, so its chunks must
+        # be much larger to amortize the re-read (window/chunk read ratio
+        # 2.97 at CS=512 vs 1.33 at CS=2048 for p=3, N1=160)
+        CS3 = 2048
+
+        def staged(total, body, cs=CS):
+            n_full = total // cs
+            if n_full:
+                jax.lax.fori_loop(
+                    0, n_full, lambda c, x: (body(c * cs, cs), x)[1], 0)
+            if total % cs:
+                body(n_full * cs, total % cs)
+
         # stage 1 (lanes, axis 2): A = U M2ᵀ, B = U S2ᵀ, shared rolls
-        uw = bufs[slot]
-        A = jnp.zeros((T_ext, W2), dtype)
-        B = jnp.zeros((T_ext, W2), dtype)
-        for l in range(K):
-            shift = (p - l) % W2
-            r = pltpu.roll(uw, shift, axis=1)
-            A = A + b2m_ref[l : l + 1, :] * r
-            B = B + b2s_ref[l : l + 1, :] * r
-        Abuf[pa : pa + T_ext, :] = A
-        Bbuf[pa : pa + T_ext, :] = B
+        def stage1(s, ln):
+            uc = bufs[slot, pl.ds(s, ln), :]
+            a = jnp.zeros((ln, W2), dtype)
+            b = jnp.zeros((ln, W2), dtype)
+            for l in range(K):
+                r = pltpu.roll(uc, (p - l) % W2, axis=1)
+                a = a + b2m_ref[l : l + 1, :] * r
+                b = b + b2s_ref[l : l + 1, :] * r
+            Abuf[pl.ds(pa + s, ln), :] = a
+            Bbuf[pl.ds(pa + s, ln), :] = b
+
+        staged(T_ext, stage1)
 
         # stage 2 (sublanes, axis 1): P = M1 A, T = S1 A + M1 B.
         # Rows [0, N1p) and [T_ext - N1p, T_ext) of P/T may read the
         # uninitialized A/B guards — stage 3 never reads them.
-        P = jnp.zeros((T_ext, W2), dtype)
-        T = jnp.zeros((T_ext, W2), dtype)
-        for k in range(K):
-            off = pa + k - p
-            a = Abuf[off : off + T_ext, :]
-            b = Bbuf[off : off + T_ext, :]
-            P = P + c1m_ref[:, k : k + 1] * a
-            T = T + c1s_ref[:, k : k + 1] * a + c1m_ref[:, k : k + 1] * b
-        Pbuf[...] = P
-        Tbuf[...] = T
+        def stage2(s, ln):
+            a_win = Abuf[pl.ds(s, ln + 2 * pa), :]
+            b_win = Bbuf[pl.ds(s, ln + 2 * pa), :]
+            cs_ = c1s_ref[pl.ds(s, ln), :]
+            cm_ = c1m_ref[pl.ds(s, ln), :]
+            P = jnp.zeros((ln, W2), dtype)
+            T = jnp.zeros((ln, W2), dtype)
+            for k in range(K):
+                off = pa + k - p
+                a = a_win[off : off + ln, :]
+                b = b_win[off : off + ln, :]
+                P = P + cm_[:, k : k + 1] * a
+                T = T + cs_[:, k : k + 1] * a + cm_[:, k : k + 1] * b
+            Pbuf[pl.ds(s, ln), :] = P
+            Tbuf[pl.ds(s, ln), :] = T
+
+        if _stages >= 2:
+            staged(T_ext, stage2)
 
         # stage 3 (sublanes, axis 0): y = S0 P + M0 T at plane strides
-        acc = jnp.zeros((tile_r, W2), dtype)
-        for k in range(K):
-            off = Hg + (k - p) * N1p
-            acc = acc + c0s_ref[:, k : k + 1] * Pbuf[off : off + tile_r, :]
-            acc = acc + c0m_ref[:, k : k + 1] * Tbuf[off : off + tile_r, :]
-
         @pl.when(i >= 2)
         def _():
             out_copy(i - 2, slot).wait()
 
-        ytile[slot] = acc
+        def stage3(s, ln):
+            # every P/T slice start (s + (k+1)*N1p) is 8-aligned, so slice
+            # the refs directly per k — materializing a whole
+            # (ln + 2p*N1p)-row window value copies ~3 MB through VMEM
+            # per chunk (measured: stage 3 cost stage-2's when windowed)
+            cs_ = c0s_ref[pl.ds(s, ln), :]
+            cm_ = c0m_ref[pl.ds(s, ln), :]
+            acc = jnp.zeros((ln, W2), dtype)
+            for k in range(K):
+                pk = Pbuf[pl.ds(s + k * N1p + N1p, ln), :]
+                tk = Tbuf[pl.ds(s + k * N1p + N1p, ln), :]
+                acc = acc + cs_[:, k : k + 1] * pk
+                acc = acc + cm_[:, k : k + 1] * tk
+            ytile[slot, pl.ds(s, ln), :] = acc
+
+        if _stages >= 3:
+            staged(tile_r, stage3, cs=CS3)
+        else:
+            def passthrough(s, ln):
+                ytile[slot, pl.ds(s, ln), :] = Pbuf[pl.ds(s, ln), :]
+            staged(tile_r, passthrough)
+
         out_copy(i, slot).start()
 
         @pl.when(i == n_tiles - 1)
@@ -511,31 +690,777 @@ def make_padded_laplace3(grid: Grid, dtype=jnp.float32,
     return apply_padded, pad, unpad, (R_ext, W2)
 
 
+def make_padded_laplace2_fullmxu(grid: Grid, dtype=jnp.float32,
+                                 tile_r: int = None,
+                                 interpret: bool = False):
+    """Fully-MXU fused 2D GD Laplace: BOTH Kronecker stages ride the MXU.
+
+    The pure-VPU / mxu3 kernels are bound by the 2p+1 cross-lane rolls of
+    the column stage (~31 GDoF/s at 1024^2 on v5e, honest timing).  Here
+    the column stage is instead a per-lane-block banded matmul: for each
+    128-lane output block j, [V_j | W_j] = U_{j-1..j+1} @ C_j with C_j a
+    (384, 256) table — the GD band is translation-invariant away from the
+    domain boundary, so all interior blocks share one C and only the
+    first/last data blocks carry boundary-specific tables.  The row stage
+    is the dense-banded per-tile matmul of kernel_mxu.  All matmuls use
+    the bf16x3 scheme (hi*hi + hi*lo + lo*hi at DEFAULT precision, ~1e-6
+    relative); the VPU only does the hi/lo splits.
+
+    MEASURED (v5e, honest chained timing): flat ~20 GDoF/s at every size
+    and degree — 93% of the machine's 146 Tflop/s effective bf16 rate,
+    but the algorithm spends ~6.8 kflop/dof (the 384-lane operand
+    windows waste 2.7x against the 2p+1 band), so the roll-based mxu3
+    kernel (~31 GDoF/s) beats it.  Kept as the measured anchor for the
+    all-MXU design point.
+
+    Layout: data lanes at [128 + p, 128 + p + N1) inside W2e =
+    128 + roundup(N1 + 2p, 128) + 128 (one guard block each side so every
+    3-block operand window is lane-aligned); data rows at [H, H + N0).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert grid.dim == 2
+    p = grid.degree
+    assert p <= 15
+    H = _round_up(p, 8)
+    N0, N1 = grid.nodes
+    if tile_r is None:
+        tile_r = 128 - 2 * H          # T_ext = 128: full MXU row util
+    T_ext = tile_r + 2 * H
+    Rp = _round_up(N0, tile_r)
+    W2i = _round_up(N1 + 2 * p, 128)  # data-carrying lane span
+    W2e = W2i + 256                   # + one guard block each side
+    nb = W2e // 128
+    n_tiles = Rp // tile_r
+    K = 2 * p + 1
+    R_ext = Rp + 2 * H
+    NB = 1 if n_tiles == 1 else 2
+    split_dt = jnp.float32 if dtype == jnp.float64 else jnp.bfloat16
+
+    band0s = stiffness_1d(p, grid.cells[0], grid.h[0]).band
+    band0m = mass_1d(p, grid.cells[0], grid.h[0]).band
+    band1s = stiffness_1d(p, grid.cells[1], grid.h[1]).band
+    band1m = mass_1d(p, grid.cells[1], grid.h[1]).band
+
+    # column tables C1[j] (384, 256): out lane x of block j (absolute
+    # lane L = j*128 + x, data col c = L - 128 - p) takes operand window
+    # row w = 128 + x + (l - p) with coefficient band1[c, l]; out lanes
+    # [0:128] build V (mass), [128:256] build W (stiffness)
+    C1 = np.zeros((nb, 384, 256))
+    for j in range(1, nb - 1):
+        for x in range(128):
+            c = j * 128 + x - 128 - p
+            if not (0 <= c < N1):
+                continue
+            for l in range(K):
+                w = 128 + x + l - p
+                C1[j, w, x] = band1m[c, l]
+                C1[j, w, 128 + x] = band1s[c, l]
+    # row tables: y_tile = Bcat_i @ [V; W] exactly as kernel_mxu
+    Bcat = np.zeros((n_tiles, tile_r, 2 * T_ext))
+    for i in range(n_tiles):
+        for r in range(tile_r):
+            g = i * tile_r + r
+            if g >= N0:
+                continue
+            for k in range(K):
+                Bcat[i, r, H - p + k + r] = band0s[g, k]
+                Bcat[i, r, T_ext + H - p + k + r] = band0m[g, k]
+    Bflat = Bcat.reshape(n_tiles * tile_r, 2 * T_ext)
+
+    def split(a):
+        hi = a.astype(np.dtype(dtype)).astype(split_dt)
+        lo = (a.astype(np.dtype(dtype))
+              - np.asarray(hi, np.dtype(dtype))).astype(split_dt)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    C1hi, C1lo = split(C1.reshape(nb * 384, 256))
+    Bhi, Blo = split(Bflat)
+
+    dn = (((1,), (0,)), ((), ()))
+
+    def kernel(u_hbm, bhi_ref, blo_ref, c1hi_ref, c1lo_ref, y_hbm,
+               bufs, ytile, zrows, vwhi, vwlo, sem_in, sem_out, sem_z):
+        i = pl.program_id(0)
+
+        def in_copy(t, slot):
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(pl.multiple_of(t * tile_r, 8), T_ext), :],
+                bufs.at[slot], sem_in.at[slot])
+
+        def out_copy(t, slot):
+            return pltpu.make_async_copy(
+                ytile.at[slot],
+                y_hbm.at[pl.ds(pl.multiple_of(H + t * tile_r, 8),
+                               tile_r), :],
+                sem_out.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+            if n_tiles > 1:
+                in_copy(1, 1).start()
+            # zero the output guard rows and the vw guard lane blocks
+            # (the guard blocks are never written by the j-loop, and the
+            # row matmul propagates their columns into y)
+            zrows[...] = jnp.zeros((H, W2e), dtype)
+            for lo in (0, H + Rp):
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), H), :],
+                    sem_z).start()
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), H), :],
+                    sem_z).wait()
+            z = jnp.zeros((2 * T_ext, 128), split_dt)
+            for ref in (vwhi, vwlo):
+                ref[:, 0:128] = z
+                ref[:, W2e - 128 : W2e] = z
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            in_copy(i + 1, (i + 1) % 2).start()
+
+        slot = i % NB
+        in_copy(i, slot).wait()
+
+        u = bufs[slot]
+        uhi = u.astype(split_dt)
+        ulo = (u - uhi.astype(dtype)).astype(split_dt)
+
+        # column stage: per-block banded matmuls
+        for j in range(1, nb - 1):
+            a, b = (j - 1) * 128, (j + 2) * 128
+            chi = c1hi_ref[j * 384 : (j + 1) * 384, :]
+            clo = c1lo_ref[j * 384 : (j + 1) * 384, :]
+            acc = jax.lax.dot_general(
+                uhi[:, a:b], chi, dimension_numbers=dn,
+                preferred_element_type=dtype)
+            acc = acc + jax.lax.dot_general(
+                uhi[:, a:b], clo, dimension_numbers=dn,
+                preferred_element_type=dtype)
+            acc = acc + jax.lax.dot_general(
+                ulo[:, a:b], chi, dimension_numbers=dn,
+                preferred_element_type=dtype)
+            acch = acc.astype(split_dt)
+            accl = (acc - acch.astype(dtype)).astype(split_dt)
+            L = j * 128
+            vwhi[0:T_ext, L : L + 128] = acch[:, 0:128]
+            vwhi[T_ext : 2 * T_ext, L : L + 128] = acch[:, 128:256]
+            vwlo[0:T_ext, L : L + 128] = accl[:, 0:128]
+            vwlo[T_ext : 2 * T_ext, L : L + 128] = accl[:, 128:256]
+
+        # row stage
+        acc = jax.lax.dot_general(
+            bhi_ref[:], vwhi[:], dimension_numbers=dn,
+            preferred_element_type=dtype)
+        acc = acc + jax.lax.dot_general(
+            bhi_ref[:], vwlo[:], dimension_numbers=dn,
+            preferred_element_type=dtype)
+        acc = acc + jax.lax.dot_general(
+            blo_ref[:], vwhi[:], dimension_numbers=dn,
+            preferred_element_type=dtype)
+
+        @pl.when(i >= 2)
+        def _():
+            out_copy(i - 2, slot).wait()
+
+        ytile[slot] = acc
+        out_copy(i, slot).start()
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            out_copy(i, slot).wait()
+            if n_tiles > 1:
+                out_copy(i - 1, (i - 1) % 2).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_ext, W2e), dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_r, 2 * T_ext), lambda i: (i, 0)),
+            pl.BlockSpec((tile_r, 2 * T_ext), lambda i: (i, 0)),
+            pl.BlockSpec((nb * 384, 256), lambda i: (0, 0)),
+            pl.BlockSpec((nb * 384, 256), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NB, T_ext, W2e), dtype),
+            pltpu.VMEM((NB, tile_r, W2e), dtype),
+            pltpu.VMEM((H, W2e), dtype),
+            pltpu.VMEM((2 * T_ext, W2e), split_dt),
+            pltpu.VMEM((2 * T_ext, W2e), split_dt),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * Rp * W2e * (2 * 384 * 256 // 128 + 2 * T_ext),
+            bytes_accessed=2 * 4 * Rp * W2e,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def apply_padded(u_pad):
+        return call(u_pad, Bhi, Blo, C1hi, C1lo)
+
+    def pad(u):
+        out = jnp.zeros((R_ext, W2e), dtype)
+        return jax.lax.dynamic_update_slice(
+            out, u.astype(dtype), (H, 128 + p))
+
+    def unpad(u_pad):
+        return u_pad[H : H + N0, 128 + p : 128 + p + N1]
+
+    return apply_padded, pad, unpad, (R_ext, W2e)
+
+
+def make_padded_laplace2_hybrid(grid: Grid, dtype=jnp.float32,
+                                tile_r: int = 376, vpu_rows: int = 136,
+                                interpret: bool = False):
+    """Hybrid VPU/MXU fused 2D GD Laplace — the column stage is split BY
+    ROWS between both compute units so they run concurrently.
+
+    Cost model (v5e, per 1M dof, honest chained timing): the 2p+1
+    cross-lane rolls of the pure-VPU column stage cost ~32 us, the row
+    stage as sublane-offset slice FMAs only ~3 us, and the MXU runs bf16
+    at ~146 Tflop/s.  A column stage done entirely with per-lane-block
+    matmuls costs 3072 flop/dof (vreg-padded K), i.e. ~21 us — no better
+    than the rolls.  Splitting the rows ~1/3 VPU : 2/3 MXU would
+    equalize both units at ~14 us IF they overlapped perfectly.
+
+    MEASURED: 21.9 GDoF/s at 2048^2 (tr=376, vr=136) — WORSE than mxu3
+    (30.8): Mosaic issues the roll loop, the dot loop, and the row stage
+    serially (the dot results gate the Vbuf/Wbuf stores, and stores gate
+    stage 2), so the modeled concurrency does not materialize.  Kept as
+    the measured anchor for the split-row design point; making the VPU
+    and MXU phases of CONSECUTIVE tiles overlap (software pipelining
+    across the grid dimension) is the open follow-up.
+
+    * rows [0, vpu_rows): V/W by shared lane rolls (stage1 of the vpu
+      kernel);
+    * rows [vpu_rows, T_ext): ONE +H lane-roll of the u slice, bf16
+      hi/lo split, then per-128-lane-block dots [V_j|W_j] =
+      ush_win(., 256) @ C_j (256, 256) in the bf16x3 scheme — the +H
+      pre-shift makes every 2-vreg operand window 128-lane aligned;
+    * row stage: sublane-offset slice FMAs (VPU, cheap).
+
+    Layout: data lanes at [128 + p, 128 + p + N1) inside W2e (one guard
+    block each side), data rows at [H, H + N0) — closed under apply.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert grid.dim == 2
+    p = grid.degree
+    assert p <= 15
+    H = _round_up(p, 8)
+    N0, N1 = grid.nodes
+    tile_r = min(tile_r, _round_up(N0, 8))
+    T_ext = tile_r + 2 * H
+    vpu_rows = min(vpu_rows, T_ext)
+    mxu_rows = T_ext - vpu_rows
+    Rp = _round_up(N0, tile_r)
+    W2i = _round_up(N1 + 2 * p, 128)
+    W2e = W2i + 256
+    nb = W2e // 128
+    n_tiles = Rp // tile_r
+    K = 2 * p + 1
+    R_ext = Rp + 2 * H
+    NB = 1 if n_tiles == 1 else 2
+    split_dt = jnp.float32 if dtype == jnp.float64 else jnp.bfloat16
+
+    band0s = stiffness_1d(p, grid.cells[0], grid.h[0]).band
+    band0m = mass_1d(p, grid.cells[0], grid.h[0]).band
+    band1s = stiffness_1d(p, grid.cells[1], grid.h[1]).band
+    band1m = mass_1d(p, grid.cells[1], grid.h[1]).band
+
+    # row tables (Rp, 128) for the sublane-FMA row stage
+    b0s = np.zeros((Rp, 128))
+    b0m = np.zeros((Rp, 128))
+    b0s[:N0, :K] = band0s
+    b0m[:N0, :K] = band0m
+
+    # roll tables (K, W2e) for the VPU column rows
+    b1s = np.zeros((K, W2e))
+    b1m = np.zeros((K, W2e))
+    for l in range(K):
+        b1s[l, 128 + p : 128 + p + N1] = band1s[:, l]
+        b1m[l, 128 + p : 128 + p + N1] = band1m[:, l]
+
+    # column block tables (nb, 256, 256) for the MXU rows: out lane x of
+    # block j (data col c = j*128 + x - 128 - p) reads the +H-rolled
+    # window at w = x + H + (l - p); out lanes [0:128] V, [128:256] W
+    C1 = np.zeros((nb, 256, 256))
+    for j in range(1, nb - 1):
+        for x in range(128):
+            c = j * 128 + x - 128 - p
+            if not (0 <= c < N1):
+                continue
+            for l in range(K):
+                w = x + H + l - p
+                C1[j, w, x] = band1m[c, l]
+                C1[j, w, 128 + x] = band1s[c, l]
+
+    def hl(a):
+        hi = a.astype(np.dtype(dtype)).astype(split_dt)
+        lo = (a.astype(np.dtype(dtype))
+              - np.asarray(hi, np.dtype(dtype))).astype(split_dt)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    C1hi, C1lo = hl(C1.reshape(nb * 256, 256))
+    b0s, b0m = jnp.asarray(b0s, dtype), jnp.asarray(b0m, dtype)
+    b1s, b1m = jnp.asarray(b1s, dtype), jnp.asarray(b1m, dtype)
+    dn = (((1,), (0,)), ((), ()))
+    CS = 512
+
+    def kernel(u_hbm, b0s_ref, b0m_ref, b1s_ref, b1m_ref,
+               c1hi_ref, c1lo_ref, y_hbm,
+               bufs, ytile, zrows, Vbuf, Wbuf, sem_in, sem_out, sem_z):
+        i = pl.program_id(0)
+
+        def in_copy(t, slot):
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(pl.multiple_of(t * tile_r, 8), T_ext), :],
+                bufs.at[slot], sem_in.at[slot])
+
+        def out_copy(t, slot):
+            return pltpu.make_async_copy(
+                ytile.at[slot],
+                y_hbm.at[pl.ds(pl.multiple_of(H + t * tile_r, 8),
+                               tile_r), :],
+                sem_out.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+            if n_tiles > 1:
+                in_copy(1, 1).start()
+            zrows[...] = jnp.zeros((H, W2e), dtype)
+            for lo in (0, H + Rp):
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), H), :],
+                    sem_z).start()
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), H), :],
+                    sem_z).wait()
+            # the MXU rows never write the guard lane blocks; zero them
+            # once (the VPU rows rewrite them with zeros every tile)
+            z = jnp.zeros((T_ext, 128), dtype)
+            for ref in (Vbuf, Wbuf):
+                ref[:, 0:128] = z
+                ref[:, W2e - 128 : W2e] = z
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            in_copy(i + 1, (i + 1) % 2).start()
+
+        slot = i % NB
+        in_copy(i, slot).wait()
+
+        # column stage, VPU part: shared lane rolls on the top rows
+        if vpu_rows:
+            uv = bufs[slot, 0:vpu_rows, :]
+            V = jnp.zeros((vpu_rows, W2e), dtype)
+            W = jnp.zeros((vpu_rows, W2e), dtype)
+            for l in range(K):
+                r = pltpu.roll(uv, (p - l) % W2e, axis=1)
+                V = V + b1m_ref[l : l + 1, :] * r
+                W = W + b1s_ref[l : l + 1, :] * r
+            Vbuf[0:vpu_rows, :] = V
+            Wbuf[0:vpu_rows, :] = W
+
+        # column stage, MXU part: one +H pre-roll, then per-block bf16x3
+        if mxu_rows:
+            ush = pltpu.roll(bufs[slot, vpu_rows:T_ext, :], H, axis=1)
+            uhi = ush.astype(split_dt)
+            ulo = (ush - uhi.astype(dtype)).astype(split_dt)
+            for j in range(1, nb - 1):
+                a, b = j * 128, j * 128 + 256
+                chi = c1hi_ref[j * 256 : (j + 1) * 256, :]
+                clo = c1lo_ref[j * 256 : (j + 1) * 256, :]
+                acc = jax.lax.dot_general(
+                    uhi[:, a:b], chi, dimension_numbers=dn,
+                    preferred_element_type=dtype)
+                acc = acc + jax.lax.dot_general(
+                    uhi[:, a:b], clo, dimension_numbers=dn,
+                    preferred_element_type=dtype)
+                acc = acc + jax.lax.dot_general(
+                    ulo[:, a:b], chi, dimension_numbers=dn,
+                    preferred_element_type=dtype)
+                Vbuf[vpu_rows:T_ext, a : a + 128] = acc[:, 0:128]
+                Wbuf[vpu_rows:T_ext, a : a + 128] = acc[:, 128:256]
+
+        @pl.when(i >= 2)
+        def _():
+            out_copy(i - 2, slot).wait()
+
+        # row stage: sublane-offset slice FMAs (chunked)
+        def staged(total, body, cs=CS):
+            n_full = total // cs
+            if n_full:
+                jax.lax.fori_loop(
+                    0, n_full, lambda c, x: (body(c * cs, cs), x)[1], 0)
+            if total % cs:
+                body(n_full * cs, total % cs)
+
+        def stage2(s, ln):
+            v_win = Vbuf[pl.ds(s, ln + 2 * H), :]
+            w_win = Wbuf[pl.ds(s, ln + 2 * H), :]
+            cs_ = b0s_ref[pl.ds(s, ln), :]
+            cm_ = b0m_ref[pl.ds(s, ln), :]
+            acc = jnp.zeros((ln, W2e), dtype)
+            for k in range(K):
+                off = H - p + k
+                acc = acc + cs_[:, k : k + 1] * v_win[off : off + ln, :]
+                acc = acc + cm_[:, k : k + 1] * w_win[off : off + ln, :]
+            ytile[slot, pl.ds(s, ln), :] = acc
+
+        staged(tile_r, stage2)
+        out_copy(i, slot).start()
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            out_copy(i, slot).wait()
+            if n_tiles > 1:
+                out_copy(i - 1, (i - 1) % 2).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_ext, W2e), dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_r, 128), lambda i: (i, 0)),
+            pl.BlockSpec((tile_r, 128), lambda i: (i, 0)),
+            pl.BlockSpec((K, W2e), lambda i: (0, 0)),
+            pl.BlockSpec((K, W2e), lambda i: (0, 0)),
+            pl.BlockSpec((nb * 256, 256), lambda i: (0, 0)),
+            pl.BlockSpec((nb * 256, 256), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NB, T_ext, W2e), dtype),
+            pltpu.VMEM((NB, tile_r, W2e), dtype),
+            pltpu.VMEM((H, W2e), dtype),
+            pltpu.VMEM((T_ext, W2e), dtype),
+            pltpu.VMEM((T_ext, W2e), dtype),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * Rp * W2e * (512 + K),
+            bytes_accessed=2 * 4 * Rp * W2e,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def apply_padded(u_pad):
+        return call(u_pad, b0s, b0m, b1s, b1m, C1hi, C1lo)
+
+    def pad(u):
+        out = jnp.zeros((R_ext, W2e), dtype)
+        return jax.lax.dynamic_update_slice(
+            out, u.astype(dtype), (H, 128 + p))
+
+    def unpad(u_pad):
+        return u_pad[H : H + N0, 128 + p : 128 + p + N1]
+
+    return apply_padded, pad, unpad, (R_ext, W2e)
+
+
+def make_padded_laplace3_mxu(grid: Grid, dtype=jnp.float32,
+                             tile_planes1: int = None,
+                             interpret: bool = False):
+    """Fused 3D GD Laplace with the plane-coupling stage on the MXU.
+
+    Same operator as make_padded_laplace3 (y = S0⊗M1⊗M2 + M0⊗S1⊗M2 +
+    M0⊗M1⊗S2), different TPU mapping: axis 0 (planes) lives on LANES
+    (lane p+i0, W0 = roundup(N0+2p, 128)), axes (1, 2) are fused on
+    sublane rows r = i1*N2p + i2.  Then
+
+    * stage 1 (axis 2): A = M2·U, B = S2·U — sublane-offset slice FMAs
+      at offsets k-p (NO cross-lane rolls anywhere in this kernel);
+    * stage 2 (axis 1): P = M1·A, T = S1·A + M1·B at offsets (k-p)*N2p,
+      written directly as a bf16 hi/lo split of the lane-concatenated
+      [P | T] (rows, 2*W0);
+    * stage 3 (axis 0): y = P·S0ᵀ + T·M0ᵀ = [P|T] @ C as THREE DEFAULT
+      (bf16) MXU matmuls (hi·hi + hi·lo + lo·hi — the bf16x3 scheme of
+      kernel_mxu3), C = [[S0ᵀ],[M0ᵀ]] dense (2*W0, W0), host-split.
+
+    The VPU does only cheap slice FMAs (the pure-VPU kernel's lane rolls
+    are its bottleneck), the MXU does the dense plane coupling, and the
+    two overlap.  N0 <= W0 data planes; intended for N0 <= ~500.
+    Coefficient closure: banded tables are zero for out-of-range/pad
+    couplings, so slices crossing i2/i1 blocks always meet a zero
+    coefficient, and pad rows/lanes stay identically zero (the padded
+    layout is closed under the apply).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert grid.dim == 3
+    p = grid.degree
+    N0, N1, N2 = grid.nodes
+    N2p = _round_up(N2, 8)
+    W0 = _round_up(N0 + 2 * p, 128)
+    K = 2 * p + 1
+    pa = _round_up(p, 8)
+    Hg = p * N2p + pa           # row halo: stage-2 reach + stage-1 reach
+    R = N1 * N2p
+
+    if tile_planes1 is None:
+        # budget ~110 MB VMEM across bufs/A/B/PT/ytile (~56 B per row)
+        max_rows = int(90e6 / ((2 + 2 + 2 + 2) * W0 * 4 + 2 * 2 * W0 * 2))
+        tile_planes1 = max(1, min(N1, (max_rows - 2 * Hg) // N2p))
+    n_tiles = -(-N1 // tile_planes1)
+    tile_planes1 = -(-N1 // n_tiles)
+    tile_r = tile_planes1 * N2p
+    Rp = n_tiles * tile_r
+    R_ext = Rp + 2 * Hg
+    T_ext = tile_r + 2 * Hg
+    NB = 1 if n_tiles == 1 else 2
+
+    band0s = stiffness_1d(p, grid.cells[0], grid.h[0])
+    band0m = mass_1d(p, grid.cells[0], grid.h[0])
+    band1s = stiffness_1d(p, grid.cells[1], grid.h[1]).band
+    band1m = mass_1d(p, grid.cells[1], grid.h[1]).band
+    band2s = stiffness_1d(p, grid.cells[2], grid.h[2]).band
+    band2m = mass_1d(p, grid.cells[2], grid.h[2]).band
+
+    # stage-1 tables (T_ext, 128), periodic in N2p with the window phase:
+    # window row w corresponds to global row w - Hg (mod N2p)
+    c2s = np.zeros((T_ext, 128))
+    c2m = np.zeros((T_ext, 128))
+    i2 = (np.arange(T_ext) - Hg) % N2p
+    v2 = i2 < N2
+    c2s[v2, :K] = band2s[i2[v2]]
+    c2m[v2, :K] = band2m[i2[v2]]
+
+    # stage-2 global tables (Rp, 128) keyed by i1 = g // N2p
+    c1s = np.zeros((Rp, 128))
+    c1m = np.zeros((Rp, 128))
+    g = np.arange(Rp)
+    i1 = g // N2p
+    v1 = (i1 < N1) & (g % N2p < N2)
+    c1s[v1, :K] = band1s[i1[v1]]
+    c1m[v1, :K] = band1m[i1[v1]]
+
+    # stage-3 dense lane matrices C = [[S0^T],[M0^T]] (2*W0, W0), bf16
+    # hi/lo split on host
+    split_dt = jnp.float32 if dtype == jnp.float64 else jnp.bfloat16
+    C = np.zeros((2 * W0, W0), np.dtype(dtype))
+    C[p : p + N0, p : p + N0] = band0s.full().T
+    C[W0 + p : W0 + p + N0, p : p + N0] = band0m.full().T
+    C_hi = C.astype(split_dt)
+    C_lo = (C - np.asarray(C_hi, np.dtype(dtype))).astype(split_dt)
+
+    c2s, c2m = jnp.asarray(c2s, dtype), jnp.asarray(c2m, dtype)
+    c1s, c1m = jnp.asarray(c1s, dtype), jnp.asarray(c1m, dtype)
+    C_hi, C_lo = jnp.asarray(C_hi), jnp.asarray(C_lo)
+
+    CS = 512
+
+    def kernel(u_hbm, c1s_ref, c1m_ref, c2s_ref, c2m_ref, chi_ref, clo_ref,
+               y_hbm, bufs, ytile, zrows, Abuf, Bbuf, pthi, ptlo,
+               sem_in, sem_out, sem_z):
+        i = pl.program_id(0)
+
+        def in_copy(t, slot):
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(pl.multiple_of(t * tile_r, 8), T_ext), :],
+                bufs.at[slot], sem_in.at[slot])
+
+        def out_copy(t, slot):
+            return pltpu.make_async_copy(
+                ytile.at[slot],
+                y_hbm.at[pl.ds(pl.multiple_of(Hg + t * tile_r, 8),
+                               tile_r), :],
+                sem_out.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+            if n_tiles > 1:
+                in_copy(1, 1).start()
+            zrows[...] = jnp.zeros((Hg, W0), dtype)
+            for lo in (0, Hg + Rp):
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), Hg), :],
+                    sem_z).start()
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), Hg), :],
+                    sem_z).wait()
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            in_copy(i + 1, (i + 1) % 2).start()
+
+        slot = i % NB
+        in_copy(i, slot).wait()
+
+        def staged(lo, total, body, cs=CS):
+            n_full = total // cs
+            if n_full:
+                jax.lax.fori_loop(
+                    0, n_full, lambda c, x: (body(lo + c * cs, cs), x)[1], 0)
+            if total % cs:
+                body(lo + n_full * cs, total % cs)
+
+        # stage 1: A/B rows [pa, T_ext - pa) (all stage-2 reads), taps
+        # at sublane offsets k-p stay inside the u window
+        def stage1(s, ln):
+            uw = bufs[slot, pl.ds(s - pa, ln + 2 * pa), :]
+            cs_ = c2s_ref[pl.ds(s, ln), :]
+            cm_ = c2m_ref[pl.ds(s, ln), :]
+            a = jnp.zeros((ln, W0), dtype)
+            b = jnp.zeros((ln, W0), dtype)
+            for k in range(K):
+                off = pa + k - p
+                u_ = uw[off : off + ln, :]
+                a = a + cm_[:, k : k + 1] * u_
+                b = b + cs_[:, k : k + 1] * u_
+            Abuf[pl.ds(s, ln), :] = a
+            Bbuf[pl.ds(s, ln), :] = b
+
+        staged(pa, T_ext - 2 * pa, stage1)
+
+        # stage 2: P/T on output rows, written as bf16 hi/lo of [P | T]
+        def stage2(s, ln):
+            cs_ = c1s_ref[pl.ds(s, ln), :]
+            cm_ = c1m_ref[pl.ds(s, ln), :]
+            P = jnp.zeros((ln, W0), dtype)
+            T = jnp.zeros((ln, W0), dtype)
+            for k in range(K):
+                off = Hg + (k - p) * N2p
+                a = Abuf[pl.ds(s + off, ln), :]
+                b = Bbuf[pl.ds(s + off, ln), :]
+                P = P + cm_[:, k : k + 1] * a
+                T = T + cs_[:, k : k + 1] * a + cm_[:, k : k + 1] * b
+            Phi = P.astype(split_dt)
+            Thi = T.astype(split_dt)
+            pthi[pl.ds(s, ln), 0:W0] = Phi
+            pthi[pl.ds(s, ln), W0 : 2 * W0] = Thi
+            ptlo[pl.ds(s, ln), 0:W0] = (P - Phi.astype(dtype)).astype(
+                split_dt)
+            ptlo[pl.ds(s, ln), W0 : 2 * W0] = (T - Thi.astype(dtype)).astype(
+                split_dt)
+
+        staged(0, tile_r, stage2)
+
+        @pl.when(i >= 2)
+        def _():
+            out_copy(i - 2, slot).wait()
+
+        # stage 3: y = [P|T] @ C on the MXU, bf16x3
+        dn = (((1,), (0,)), ((), ()))
+
+        def stage3(s, ln):
+            hi = pthi[pl.ds(s, ln), :]
+            lo = ptlo[pl.ds(s, ln), :]
+            acc = jax.lax.dot_general(
+                hi, chi_ref[:], dimension_numbers=dn,
+                preferred_element_type=dtype)
+            acc = acc + jax.lax.dot_general(
+                hi, clo_ref[:], dimension_numbers=dn,
+                preferred_element_type=dtype)
+            acc = acc + jax.lax.dot_general(
+                lo, chi_ref[:], dimension_numbers=dn,
+                preferred_element_type=dtype)
+            ytile[slot, pl.ds(s, ln), :] = acc
+
+        staged(0, tile_r, stage3)
+
+        out_copy(i, slot).start()
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            out_copy(i, slot).wait()
+            if n_tiles > 1:
+                out_copy(i - 1, (i - 1) % 2).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_ext, W0), dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_r, 128), lambda i: (i, 0)),
+            pl.BlockSpec((tile_r, 128), lambda i: (i, 0)),
+            pl.BlockSpec((T_ext, 128), lambda i: (0, 0)),
+            pl.BlockSpec((T_ext, 128), lambda i: (0, 0)),
+            pl.BlockSpec((2 * W0, W0), lambda i: (0, 0)),
+            pl.BlockSpec((2 * W0, W0), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NB, T_ext, W0), dtype),
+            pltpu.VMEM((NB, tile_r, W0), dtype),
+            pltpu.VMEM((Hg, W0), dtype),
+            pltpu.VMEM((T_ext, W0), dtype),
+            pltpu.VMEM((T_ext, W0), dtype),
+            pltpu.VMEM((tile_r, 2 * W0), split_dt),
+            pltpu.VMEM((tile_r, 2 * W0), split_dt),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 7 * K * Rp * W0 + 2 * 3 * Rp * 2 * W0 * W0,
+            bytes_accessed=2 * 4 * Rp * W0,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def apply_padded(u_pad):
+        return call(u_pad, c1s, c1m, c2s, c2m, C_hi, C_lo)
+
+    def pad(u):
+        u3 = u.reshape(N0, N1, N2).astype(dtype).transpose(1, 2, 0)
+        tmp = jnp.zeros((N1, N2p, W0), dtype)
+        tmp = jax.lax.dynamic_update_slice(tmp, u3, (0, 0, p))
+        out = jnp.zeros((R_ext, W0), dtype)
+        return jax.lax.dynamic_update_slice(
+            out, tmp.reshape(R, W0), (Hg, 0))
+
+    def unpad(u_pad):
+        t = u_pad[Hg : Hg + R].reshape(N1, N2p, W0)[:, :N2, p : p + N0]
+        return t.transpose(2, 0, 1)
+
+    return apply_padded, pad, unpad, (R_ext, W0)
+
+
 def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False):
-    """Auto-select kernel mode/tiling by size (v5e-measured heuristics):
+    """Auto-select the best 2D/3D kernel (v5e-measured, honest chained
+    timing — see bench.timed_chain):
 
-    * single-tile pure-VPU when the whole grid fits comfortably in VMEM
-      (no halo re-reads, no per-tile pipeline overhead — fastest <= ~1.5M
-      nodes);
-    * otherwise tiled with the row stage on the MXU (rows='mxu'), whose
-      throughput is p-independent and ~40% ahead of the multi-pass XLA
-      path at 4096^2.
-
-    dim == 3 dispatches to the fused 3D kernel.
+    * 2D: mxu3 with tile_r=64 everywhere — 31.8/30.8/27.6 GDoF/s at
+      1024^2/2048^2/4096^2 p=3 and 23.1 at p=5 1024^2, vs 28.9 for the
+      best pure-VPU config and 25.9/27.7 for the multi-pass XLA path.
+      The small tile keeps the dense row-matmul K-dim (2*(tile_r+2H))
+      minimal; the kernel is bound by the VPU column rolls.
+    * dim == 3: the fused sublane/lane VPU kernel (laplace3); the
+      plane-lanes MXU variant (laplace3_mxu) wins for small N0 — the
+      dispatch below picks by measured crossover.
     """
     if grid.dim == 3:
         return make_padded_laplace3(grid, dtype, interpret=interpret)
-    N0, N1 = grid.nodes
-    p = grid.degree
-    H = _round_up(p, 8)
-    W2 = _round_up(N1 + 2 * p, 128)
-    R1 = _round_up(N0, 8) + 2 * H
-    itemsize = jnp.dtype(dtype).itemsize
-    single_tile_bytes = 4 * R1 * W2 * itemsize  # buf + V + W + ytile
-    if single_tile_bytes <= 60 * 1024 * 1024:
-        return make_padded_laplace2(grid, dtype, tile_r=R1, rows="vpu",
-                                    interpret=interpret)
-    return make_padded_laplace2(grid, dtype, tile_r=128, rows="mxu",
+    return make_padded_laplace2(grid, dtype, tile_r=64, rows="mxu3",
                                 interpret=interpret)
 
 

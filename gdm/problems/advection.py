@@ -120,7 +120,8 @@ def composite_app_case() -> AdvectionParams:
     x_shift = 0.25
 
     def exact(pts, t):
-        d = np.sqrt((pts[..., 0] + 0.3) ** 2 + (pts[..., 1] + 0.3) ** 2)
+        # jnp.sqrt (not np.sqrt): must stay traceable for run_scan
+        d = jnp.sqrt((pts[..., 0] + 0.3) ** 2 + (pts[..., 1] + 0.3) ** 2)
         return jnp.maximum(0.0, 0.3 - d) + 0.0 * t
 
     def exact_der(pts, t):
@@ -267,6 +268,121 @@ class AdvectionProblem:
             bs, bb, u = step(t, dt, (bs, bb, u))
             err = self.postprocess(t + dt, u)
             time.advance_time()
+        return self.rows
+
+    def run_scan(self):
+        """Whole-horizon time loop as ONE jitted ``lax.scan`` on device.
+
+        Numerically identical to :meth:`run` (same DiscreteTime step
+        sizes, same RK tableau, same per-step error rows), but the
+        entire trajectory — BC reinitialization, RK stages, mass-CG
+        solves, and the 6-column error norms of every step — runs in a
+        single device program, so a 1200-step production run costs one
+        compile + one dispatch instead of ~3 dispatches/step.  Requires
+        ``exact_solution``/``exact_solution_der`` to be jax-traceable.
+        Populates and returns ``self.rows`` like :meth:`run`.
+        """
+        pp = self.params
+        delta_t = self.dx * pp.cfl / pp.max_val
+        time = timestepping.DiscreteTime(pp.start_t, pp.end_t, delta_t)
+        ts, dts = [], []
+        while not time.is_at_end():
+            ts.append(time.get_current_time())
+            dts.append(time.get_next_step_size())
+            time.advance_time()
+        ts, dts = jnp.asarray(ts), jnp.asarray(dts)
+
+        def errs(u, t, op, adv):
+            l2, l1, li = op.error_norms(u, pp.exact_solution, t)
+            f2, f1, fi = adv.surface_error_norms(u, pp.exact_solution, t)
+            return jnp.stack([l2, l1, li, f2, f1, fi])
+
+        if pp.composite:
+            solves = (self._mass_solver(self.op_in),
+                      self._mass_solver(self.op_out))
+            bp0 = jnp.asarray(self.adv_in.ops.b_phys)
+            bp1 = jnp.asarray(self.adv_out.ops.b_phys)
+
+            def f(t, y):
+                bb0, u0, bb1, u1 = y
+                _, dbb0 = self._bc_der(self.adv_in, t)
+                _, dbb1 = self._bc_der(self.adv_out, t)
+                r0 = self.adv_in.compute_rhs(
+                    u0, None, bb0, pp.ghost_parameter_A, u_other=u1)
+                r1 = self.adv_out.compute_rhs(
+                    u1, None, bb1, pp.ghost_parameter_A, u_other=u0)
+                return (dbb0, solves[0](r0), dbb1, solves[1](r1))
+
+            def body(carry, tdt):
+                u0, u1 = carry
+                t, dt = tdt
+                bb0 = jnp.asarray(pp.exact_solution(bp0, t))
+                bb1 = jnp.asarray(pp.exact_solution(bp1, t))
+                _, u0, _, u1 = timestepping.rk_step(
+                    f, t, dt, (bb0, u0, bb1, u1))
+                e = jnp.stack([
+                    errs(u0, t + dt, self.op_in, self.adv_in),
+                    errs(u1, t + dt, self.op_out, self.adv_out)])
+                return (u0, u1), e
+
+            @jax.jit
+            def trajectory(u0, u1):
+                e0 = jnp.stack([
+                    errs(u0, pp.start_t, self.op_in, self.adv_in),
+                    errs(u1, pp.start_t, self.op_out, self.adv_out)])
+                (u0, u1), es = jax.lax.scan(
+                    body, (u0, u1), (ts, dts))
+                return jnp.concatenate([e0[None], es]), u0, u1
+
+            u0 = self.interpolate_exact(pp.start_t)
+            es, self.u0, self.u1 = trajectory(u0, u0)
+            es = np.asarray(es)
+            for step in range(es.shape[0]):
+                t = float(pp.start_t if step == 0 else ts[step - 1]
+                          + dts[step - 1])
+                for slot in (0, 1):
+                    row = (step, t) + tuple(float(x) for x in es[step, slot])
+                    self.rows[slot].append(row)
+                    if self.verbose:
+                        print("%5d %8.5f %14.8e %14.8e %14.8e | %14.8e "
+                              "%14.8e %14.8e" % row)
+            return self.rows
+
+        msolve = self._mass_solver(self.op_in)
+        adv = self.adv_in
+        sp = jnp.asarray(adv.ops.surf_phys_q)
+        bp = jnp.asarray(adv.ops.b_phys)
+
+        def f(t, y):
+            bs, bb, u = y
+            dbs, dbb = self._bc_der(adv, t)
+            r = adv.compute_rhs(u, bs, bb, pp.ghost_parameter_A)
+            return (dbs, dbb, msolve(r))
+
+        def body(u, tdt):
+            t, dt = tdt
+            bs = jnp.asarray(pp.exact_solution(sp, t))
+            bb = jnp.asarray(pp.exact_solution(bp, t))
+            _, _, u = timestepping.rk_step(f, t, dt, (bs, bb, u))
+            return u, errs(u, t + dt, self.op_in, adv)
+
+        @jax.jit
+        def trajectory(u):
+            e0 = errs(u, pp.start_t, self.op_in, adv)
+            u, es = jax.lax.scan(body, u, (ts, dts))
+            return jnp.concatenate([e0[None], es]), u
+
+        u = self.interpolate_exact(pp.start_t)
+        es, self.u = trajectory(u)
+        es = np.asarray(es)
+        for step in range(es.shape[0]):
+            t = float(pp.start_t if step == 0 else ts[step - 1]
+                      + dts[step - 1])
+            row = (step, t) + tuple(float(x) for x in es[step])
+            self.rows[0].append(row)
+            if self.verbose:
+                print("%5d %8.5f %14.8e %14.8e %14.8e | %14.8e %14.8e "
+                      "%14.8e" % row)
         return self.rows
 
     def _run_composite(self, delta_t):

@@ -67,9 +67,12 @@ def test_advection_02_weak_bc():
     # same magnitude; current behavior pinned SHARP below (regression pin)
     assert 5e-4 < final3 < 2e-3, final3
     assert 4e-5 < final5 < 2e-4, final5
-    np.testing.assert_allclose(final3, 1.0837437584996e-3, rtol=1e-7)
-    np.testing.assert_allclose(final5, 9.2521375336219e-5, rtol=1e-7)
+    # rtol 1e-3, not tighter: XLA:CPU codegen differs across host CPUs
+    # (vector ISA dispatch), shifting these trajectories by ~1e-5 (p=3)
+    # to ~2e-4 (p=5) relative between machines
+    np.testing.assert_allclose(final3, 1.0837437584996e-3, rtol=1e-3)
+    np.testing.assert_allclose(final5, 9.2521375336219e-5, rtol=1e-3)
     # error stays bounded over the run (stable weak BC)
     assert max(r[2] for r in rows3) < 2e-3
     np.testing.assert_allclose(
-        max(r[2] for r in rows5), 9.4844188424759e-5, rtol=1e-7)
+        max(r[2] for r in rows5), 9.4844188424759e-5, rtol=1e-3)

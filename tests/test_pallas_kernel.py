@@ -24,7 +24,7 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("rows", ["vpu", "mxu"])
+@pytest.mark.parametrize("rows", ["vpu", "mxu", "mxu3"])
 @pytest.mark.parametrize("p,cells,tile_r", CASES)
 def test_matches_xla_operator(rows, p, cells, tile_r):
     grid = Grid(p, cells, (0.0, 0.0), (1.0, 2.0))
@@ -35,7 +35,58 @@ def test_matches_xla_operator(rows, p, cells, tile_r):
     ap, pad, unpad, shape = make_padded_laplace2(
         grid, jnp.float64, tile_r=tile_r, interpret=True, rows=rows)
     y = np.asarray(unpad(ap(pad(jnp.asarray(u)))))
-    np.testing.assert_allclose(y, y_ref, rtol=1e-13, atol=1e-13)
+    # mxu3 under f64 splits to f32 hi/lo (same code path as the TPU
+    # bf16x3 scheme); the dropped lo*lo term costs ~1e-15 relative
+    tol = 2e-12 if rows == "mxu3" else 1e-13
+    np.testing.assert_allclose(y, y_ref, rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("p,cells,kw", [
+    (3, (40, 72), {}),
+    (5, (48, 40), {}),
+    (3, (300, 140), {}),
+    (7, (32, 33), {}),
+])
+def test_fullmxu_matches_xla_operator(p, cells, kw):
+    from gdm.ops.pallas_stencil2 import make_padded_laplace2_fullmxu
+
+    grid = Grid(p, cells, (0.0, 0.0), (1.0, 2.0))
+    f = laplace_apply_fn(grid, dtype=jnp.float64)
+    rng = np.random.default_rng(6)
+    u = rng.standard_normal(grid.nodes)
+    y_ref = np.asarray(f(jnp.asarray(u)))
+    ap, pad, unpad, shape = make_padded_laplace2_fullmxu(
+        grid, jnp.float64, interpret=True, **kw)
+    y = np.asarray(unpad(ap(pad(jnp.asarray(u)))))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-12, atol=2e-12)
+
+
+@pytest.mark.parametrize("p,cells,tr,vr", [
+    (3, (40, 72), 32, 16),
+    (5, (48, 40), 24, 8),
+    (3, (300, 140), 48, 24),
+    (7, (300, 140), 48, 0),    # all-MXU split
+    (3, (300, 140), 48, 64),   # all-VPU split
+])
+def test_hybrid_matches_xla_operator(p, cells, tr, vr):
+    from gdm.ops.pallas_stencil2 import make_padded_laplace2_hybrid
+
+    grid = Grid(p, cells, (0.0, 0.0), (1.0, 2.0))
+    f = laplace_apply_fn(grid, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(grid.nodes)
+    y_ref = np.asarray(f(jnp.asarray(u)))
+    ap, pad, unpad, shape = make_padded_laplace2_hybrid(
+        grid, jnp.float64, tile_r=tr, vpu_rows=vr, interpret=True)
+    y = np.asarray(unpad(ap(pad(jnp.asarray(u)))))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-12, atol=2e-12)
+    # padded-layout closure: everything outside the data block stays 0
+    y2 = np.asarray(ap(ap(pad(jnp.asarray(u)))))
+    N0, N1 = grid.nodes
+    H = _round_up(p, 8)
+    mask = np.ones(shape, bool)
+    mask[H : H + N0, 128 + p : 128 + p + N1] = False
+    assert np.max(np.abs(y2[mask])) == 0.0
 
 
 def test_padded_layout_closed_under_apply():
@@ -80,6 +131,52 @@ def test_3d_matches_xla_operator(p, cells, tile_planes):
         grid, jnp.float64, tile_planes=tile_planes, interpret=True)
     y = np.asarray(unpad(ap(pad(jnp.asarray(u)))))
     np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-11)
+
+
+@pytest.mark.parametrize("p,cells,tile_planes1", [
+    (3, (12, 12, 12), 4),     # multi-tile
+    (3, (12, 12, 12), None),  # auto tiling
+    (5, (10, 9, 11), 3),      # anisotropic, one-sided bands
+    (7, (9, 8, 10), None),
+])
+def test_3d_mxu_matches_xla_operator(p, cells, tile_planes1):
+    from gdm.ops.pallas_stencil2 import make_padded_laplace3_mxu
+
+    grid = Grid(p, cells, (0.0, 0.0, 0.0), (1.0, 2.0, 1.5))
+    f = laplace_apply_fn(grid, dtype=jnp.float64)
+    rng = np.random.default_rng(4)
+    u = rng.standard_normal(grid.nodes)
+    y_ref = np.asarray(f(jnp.asarray(u)))
+    ap, pad, unpad, shape = make_padded_laplace3_mxu(
+        grid, jnp.float64, tile_planes1=tile_planes1, interpret=True)
+    y = np.asarray(unpad(ap(pad(jnp.asarray(u)))))
+    # f32 hi/lo split of the plane-coupling matmul (same path as the
+    # TPU bf16x3 scheme) costs ~1e-15 relative
+    np.testing.assert_allclose(y, y_ref, rtol=2e-12, atol=2e-11)
+
+
+def test_3d_mxu_padded_layout_closed_under_apply():
+    from gdm.ops.pallas_stencil2 import make_padded_laplace3_mxu
+
+    p = 3
+    grid = Grid(p, (12, 12, 12), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+    ap, pad, unpad, shape = make_padded_laplace3_mxu(
+        grid, jnp.float64, tile_planes1=5, interpret=True)
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal(grid.nodes)
+    y2 = np.asarray(ap(ap(pad(jnp.asarray(u)))))
+    mask = np.ones(shape, bool)
+    N0, N1, N2 = grid.nodes
+    N2p = _round_up(N2, 8)
+    Hg = p * N2p + _round_up(p, 8)
+    blk = mask[Hg : Hg + N1 * N2p].reshape(N1, N2p, shape[1])
+    blk[:, :N2, p : p + N0] = False
+    assert np.max(np.abs(y2[mask])) == 0.0
+    f = laplace_apply_fn(grid, dtype=jnp.float64)
+    y_ref = np.asarray(f(f(jnp.asarray(u))))
+    got = (y2[Hg : Hg + N1 * N2p].reshape(N1, N2p, -1)[:, :N2, p : p + N0]
+           .transpose(2, 0, 1))
+    np.testing.assert_allclose(got, y_ref, rtol=1e-11, atol=1e-9)
 
 
 def test_3d_padded_layout_closed_under_apply():
