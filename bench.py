@@ -111,10 +111,13 @@ def main():
         pallas = {}
         try:
             from gdm.ops.pallas_stencil2 import best_padded_laplace
-            for key, p, n in ((1024, 3, 1024), (2048, 3, 2048),
-                              (4096, 3, 4096), ("p5_1024", 5, 1024),
-                              ("p5_2048", 5, 2048)):
-                grid = Grid(p, (n, n), (0.0, 0.0), (1.0, 1.0))
+            for key, p, cells in (
+                    (1024, 3, (1024, 1024)), (2048, 3, (2048, 2048)),
+                    (4096, 3, (4096, 4096)), ("p5_1024", 5, (1024, 1024)),
+                    ("p5_2048", 5, (2048, 2048)),
+                    ("p3_3d_160", 3, (160, 160, 160))):
+                grid = Grid(p, cells, (0.0,) * len(cells),
+                            (1.0,) * len(cells))
                 apply_pad, pad, unpad, _ = best_padded_laplace(
                     grid, jnp.float32)
                 up = pad(jnp.ones(grid.nodes, jnp.float32))
@@ -163,20 +166,26 @@ def main():
             jnp.float32)
     pre = jax.jit(mg.precondition)
 
+    # real ReductionControl-style stopping (round 1 pinned the iteration
+    # count because its dispatch-ACK wall-clocking made the while_loop
+    # stopping LOOK erratic; with host-forced differential timing the
+    # f32 tolerance loop measures fine)
     def one_mg(bb):
-        x, info = solvers.cg(mg_apply, bb, precond=pre, max_iter=5,
-                             rel_tol=0.0)
+        x, info = solvers.cg(mg_apply, bb, precond=pre, max_iter=50,
+                             rel_tol=1e-6)
         return x * jax.lax.rsqrt(jnp.mean(x * x) + 1e-30)
 
     mg_time = timed_chain(one_mg, bb, trials=3, target_s=0.5)
 
     @jax.jit
     def mg_info(bb):
-        _, info = solvers.cg(mg_apply, bb, precond=pre, max_iter=5,
-                             rel_tol=0.0)
-        return info["residual"]
+        _, info = solvers.cg(mg_apply, bb, precond=pre, max_iter=50,
+                             rel_tol=1e-6)
+        return info["iterations"], info["residual"]
 
-    mg_rel_res = float(mg_info(bb)) / float(jnp.linalg.norm(bb))
+    mg_iters_, mg_res_ = mg_info(bb)
+    mg_iters = int(mg_iters_)
+    mg_rel_res = float(mg_res_) / float(jnp.linalg.norm(bb))
 
     # end-to-end flagship step: 2D cut wave RK4 (4 stages x mass-CG +
     # matrix-free cut stiffness RHS), f32, 128^2
@@ -207,11 +216,14 @@ def main():
             "xla_1024_dof_per_s": results[1024],
             "matvec_p5_2d_1024_dof_per_s": best_p5,
             "xla_p5_1024_dof_per_s": results["p5_1024"],
-            "matvec_p3_3d_160_dof_per_s": results["p3_3d_160"],
+            "matvec_p3_3d_160_dof_per_s": max(
+                results["p3_3d_160"],
+                (pallas or {}).get("p3_3d_160", 0.0)),
             "pallas_dof_per_s": pallas,
             "cg100_1024_s": cg_time,
             "cg_iterations": cg_iters,
-            "mg_cg_solve5_1024_s": mg_time,
+            "mg_cg_solve_1e6_1024_s": mg_time,
+            "mg_cg_iterations": mg_iters,
             "mg_cg_rel_residual": mg_rel_res,
             "cut_wave_rk4_step_128_s": wave_step_s,
             "timing": "host-synced differential chain (see docstring)",

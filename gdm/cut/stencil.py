@@ -30,7 +30,17 @@ class StencilOperator:
     def __init__(self, grid: Grid, band: np.ndarray, radius: int):
         self.grid = grid
         self.radius = radius
-        self.band = jnp.asarray(band)  # nodes + (2r+1,)*dim
+        self.band_host = band  # np f64, nodes + (2r+1,)*dim
+        self._band = None
+
+    @property
+    def band(self):  # device copy, materialized on first apply
+        if self._band is None:
+            b = jnp.asarray(self.band_host)
+            if isinstance(b, jax.core.Tracer):
+                return b  # first touch under a trace: don't cache tracers
+            self._band = b
+        return self._band
 
     def apply(self, u_flat):
         grid = self.grid
@@ -139,6 +149,80 @@ def assemble_stencil(op: CutOperators, kind: str, gamma: float,
 
     return StencilOperator(grid, band.reshape(grid.nodes + (K,) * dim),
                            radius)
+
+
+def _local_blocks(band_flat, windows, grid, radius):
+    """Extract exact global submatrices A[win, win] (n, m, m) from the
+    band form (entries farther than `radius` on any axis are 0)."""
+    dim = grid.dim
+    K = 2 * radius + 1
+    n, m = windows.shape
+    strides = [1] * dim
+    for d in range(dim - 2, -1, -1):
+        strides[d] = strides[d + 1] * grid.nodes[d + 1]
+    wi = windows[:, :, None].astype(np.int64)
+    wj = windows[:, None, :].astype(np.int64)
+    off_flat = np.zeros((n, m, m), dtype=np.int64)
+    valid = np.ones((n, m, m), dtype=bool)
+    rem_i, rem_j = wi.copy(), wj.copy()
+    for d in range(dim):
+        ci = rem_i // strides[d]
+        cj = rem_j // strides[d]
+        rem_i = rem_i % strides[d]
+        rem_j = rem_j % strides[d]
+        delta = cj - ci
+        valid &= np.abs(delta) <= radius
+        off_flat = off_flat * K + np.clip(delta + radius, 0, K - 1)
+    rows = np.broadcast_to(wi, (n, m, m))
+    loc = np.where(valid, band_flat[rows, off_flat], 0.0)
+    return loc
+
+
+def schwarz_jacobi_preconditioner(st: StencilOperator, windows):
+    """Additive Schwarz over the given dof windows + point Jacobi on the
+    remaining dofs — the TPU-native counterpart of the reference's ILU
+    for the badly cut mass systems (parameters.h:32 'ILU';
+    problem.h:244-257 ReductionControl CG).
+
+    The GP'd cut mass matrix is SPD but near-singular (min eig ~1e-12
+    relative on sliver-cut p=5 configurations): point-Jacobi CG stalls
+    around 1e-5 after 1000 iterations, which turns the advection time
+    loop into noise amplification (the factor-8/9 parallel-ramp rows).
+    Its near-null modes are LOCAL to cut-cell windows, so exact dense
+    solves of the window submatrices (batched (m, m) inverses, applied
+    as gather -> einsum -> scatter-add) restore CG convergence.  Plain
+    (unweighted) additive Schwarz keeps the preconditioner symmetric
+    positive definite, as CG requires.
+    """
+    grid = st.grid
+    dim = grid.dim
+    K = 2 * st.radius + 1
+    band_flat = np.asarray(st.band_host, np.float64).reshape(
+        grid.n_nodes, K**dim)
+    center = (K**dim - 1) // 2
+    diag = band_flat[:, center]
+    covered = np.zeros(grid.n_nodes, dtype=bool)
+    windows = np.asarray(windows)
+    if windows.size:
+        covered[windows.reshape(-1)] = True
+        loc = _local_blocks(band_flat, windows, grid, st.radius)
+        inv = np.linalg.inv(loc)
+        inv_d = jnp.asarray(inv)
+        win_d = jnp.asarray(windows)
+    safe = np.where(diag == 0.0, 1.0, diag)
+    jac = np.where(covered, 0.0, 1.0 / safe)  # diag==0 -> 1.0 (inactive)
+    jac_d = jnp.asarray(jac)
+
+    if not windows.size:
+        return lambda r: jac_d * r
+
+    def precondition(r):
+        z = jac_d * r
+        rl = r[win_d]
+        zl = jnp.einsum("nij,nj->ni", inv_d, rl)
+        return z.at[win_d.reshape(-1)].add(zl.reshape(-1))
+
+    return precondition
 
 
 def best_solver_apply(op: CutOperators, kind: str, gamma: float,

@@ -58,7 +58,7 @@ def sharded_stencil_apply(op: StencilOperator, mesh: Mesh, axis: str = "x"):
     L = n * loc
     K = 2 * r + 1
     band = np.zeros((L,) + nodes[1:] + (K,) * dim)
-    band[:N0] = np.asarray(op.band)
+    band[:N0] = np.asarray(op.band_host)
     band[N0:][(Ellipsis,) + (r,) * dim] = 1.0  # identity pad rows
     band = jnp.asarray(band)
     pshape = (L,) + nodes[1:]

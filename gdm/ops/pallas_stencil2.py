@@ -1454,11 +1454,14 @@ def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False):
       best pure-VPU config and 25.9/27.7 for the multi-pass XLA path.
       The small tile keeps the dense row-matmul K-dim (2*(tile_r+2H))
       minimal; the kernel is bound by the VPU column rolls.
-    * dim == 3: the fused sublane/lane VPU kernel (laplace3); the
-      plane-lanes MXU variant (laplace3_mxu) wins for small N0 — the
-      dispatch below picks by measured crossover.
+    * dim == 3: the plane-lanes MXU kernel (laplace3_mxu, 7.1 GDoF/s at
+      160^3 vs 6.8 for the all-VPU laplace3 and 5.3 for XLA) while the
+      plane count fits its dense lane transform; the all-VPU kernel
+      otherwise.
     """
     if grid.dim == 3:
+        if grid.nodes[0] + 2 * grid.degree <= 512:
+            return make_padded_laplace3_mxu(grid, dtype, interpret=interpret)
         return make_padded_laplace3(grid, dtype, interpret=interpret)
     return make_padded_laplace2(grid, dtype, tile_r=64, rows="mxu3",
                                 interpret=interpret)

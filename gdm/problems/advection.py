@@ -184,11 +184,19 @@ class AdvectionProblem:
     def _mass_solver(self, op):
         pp = self.params
         gm = pp.ghost_parameter_M
-        from ..cut.stencil import best_solver_apply
+        from ..cut.stencil import (assemble_stencil,
+                                   schwarz_jacobi_preconditioner)
 
-        apply_fn = best_solver_apply(op, "mass", gm)
-        diag = jnp.asarray(op.mass_diagonal(gm))
-        pre = solvers.jacobi_preconditioner(diag)
+        st = assemble_stencil(op, "mass", gm)
+        K = 2 * (op.grid.degree + 1) + 1
+        if op.grid.n_nodes * K**op.grid.dim <= 3e7:
+            apply_fn = st.apply
+        else:
+            apply_fn = lambda v: op.mass_apply(v, gm)
+        # cut-window Schwarz: point-Jacobi CG stalls on the near-singular
+        # GP'd cut mass matrix of badly cut p=5 configurations (the
+        # reference leans on ILU here, parameters.h:32)
+        pre = schwarz_jacobi_preconditioner(st, op.w_cut)
 
         def solve(b):
             x, _ = solvers.cg(
@@ -270,17 +278,19 @@ class AdvectionProblem:
             time.advance_time()
         return self.rows
 
-    def run_scan(self):
-        """Whole-horizon time loop as ONE jitted ``lax.scan`` on device.
+    def run_scan(self, chunk: int = 128):
+        """Whole-horizon time loop as jitted ``lax.scan`` device programs.
 
         Numerically identical to :meth:`run` (same DiscreteTime step
         sizes, same RK tableau, same per-step error rows), but the
-        entire trajectory — BC reinitialization, RK stages, mass-CG
-        solves, and the 6-column error norms of every step — runs in a
-        single device program, so a 1200-step production run costs one
-        compile + one dispatch instead of ~3 dispatches/step.  Requires
-        ``exact_solution``/``exact_solution_der`` to be jax-traceable.
-        Populates and returns ``self.rows`` like :meth:`run`.
+        trajectory — BC reinitialization, RK stages, mass-CG solves, and
+        the 6-column error norms of every step — runs as device scans of
+        up to ``chunk`` steps each, so a 1200-step production run costs
+        a couple of compiles + ~10 dispatches instead of ~3 dispatches
+        per step.  (``chunk`` bounds the single-program device time; the
+        remote-TPU execution path kills very long single programs.)
+        Requires ``exact_solution``/``exact_solution_der`` to be
+        jax-traceable.  Populates and returns ``self.rows``.
         """
         pp = self.params
         delta_t = self.dx * pp.cfl / pp.max_val
@@ -291,6 +301,7 @@ class AdvectionProblem:
             dts.append(time.get_next_step_size())
             time.advance_time()
         ts, dts = jnp.asarray(ts), jnp.asarray(dts)
+        chunk = max(1, min(chunk, len(ts)))
 
         def errs(u, t, op, adv):
             l2, l1, li = op.error_norms(u, pp.exact_solution, t)
@@ -326,17 +337,25 @@ class AdvectionProblem:
                 return (u0, u1), e
 
             @jax.jit
-            def trajectory(u0, u1):
-                e0 = jnp.stack([
+            def traj_chunk(u0, u1, tc, dc):
+                (u0, u1), es = jax.lax.scan(body, (u0, u1), (tc, dc))
+                return es, u0, u1
+
+            @jax.jit
+            def err0(u0, u1):
+                return jnp.stack([
                     errs(u0, pp.start_t, self.op_in, self.adv_in),
                     errs(u1, pp.start_t, self.op_out, self.adv_out)])
-                (u0, u1), es = jax.lax.scan(
-                    body, (u0, u1), (ts, dts))
-                return jnp.concatenate([e0[None], es]), u0, u1
 
             u0 = self.interpolate_exact(pp.start_t)
-            es, self.u0, self.u1 = trajectory(u0, u0)
-            es = np.asarray(es)
+            u1 = u0
+            parts = [np.asarray(err0(u0, u1))[None]]
+            for s in range(0, len(ts), chunk):
+                es, u0, u1 = traj_chunk(u0, u1, ts[s : s + chunk],
+                                        dts[s : s + chunk])
+                parts.append(np.asarray(es))
+            self.u0, self.u1 = u0, u1
+            es = np.concatenate(parts)
             for step in range(es.shape[0]):
                 t = float(pp.start_t if step == 0 else ts[step - 1]
                           + dts[step - 1])
@@ -367,14 +386,18 @@ class AdvectionProblem:
             return u, errs(u, t + dt, self.op_in, adv)
 
         @jax.jit
-        def trajectory(u):
-            e0 = errs(u, pp.start_t, self.op_in, adv)
-            u, es = jax.lax.scan(body, u, (ts, dts))
-            return jnp.concatenate([e0[None], es]), u
+        def traj_chunk(u, tc, dc):
+            u, es = jax.lax.scan(body, u, (tc, dc))
+            return es, u
 
         u = self.interpolate_exact(pp.start_t)
-        es, self.u = trajectory(u)
-        es = np.asarray(es)
+        parts = [np.asarray(
+            jax.jit(lambda v: errs(v, pp.start_t, self.op_in, adv))(u))[None]]
+        for s in range(0, len(ts), chunk):
+            es, u = traj_chunk(u, ts[s : s + chunk], dts[s : s + chunk])
+            parts.append(np.asarray(es))
+        self.u = u
+        es = np.concatenate(parts)
         for step in range(es.shape[0]):
             t = float(pp.start_t if step == 0 else ts[step - 1]
                       + dts[step - 1])
