@@ -166,13 +166,16 @@ def main():
             jnp.float32)
     pre = jax.jit(mg.precondition)
 
-    # real ReductionControl-style stopping (round 1 pinned the iteration
-    # count because its dispatch-ACK wall-clocking made the while_loop
-    # stopping LOOK erratic; with host-forced differential timing the
-    # f32 tolerance loop measures fine)
+    # Real ReductionControl-style stopping.  Root cause of round 1's
+    # "erratic f32 stopping": (a) dispatch-ACK wall-clocking made the
+    # while_loop LOOK erratic, and (b) the f32 recurrence residual has a
+    # floor of ~eps_f32 * kappa(A) ~ 1e-4 at 1024^2 (kappa ~ h^-2), so a
+    # 1e-6 relative target is unreachable in f32 — the rule itself works
+    # whenever the target is attainable.  Solve to 1e-3 (MG-CG: a
+    # handful of iterations) and report the measured 50-iteration floor.
     def one_mg(bb):
         x, info = solvers.cg(mg_apply, bb, precond=pre, max_iter=50,
-                             rel_tol=1e-6)
+                             rel_tol=1e-3)
         return x * jax.lax.rsqrt(jnp.mean(x * x) + 1e-30)
 
     mg_time = timed_chain(one_mg, bb, trials=3, target_s=0.5)
@@ -180,12 +183,16 @@ def main():
     @jax.jit
     def mg_info(bb):
         _, info = solvers.cg(mg_apply, bb, precond=pre, max_iter=50,
-                             rel_tol=1e-6)
-        return info["iterations"], info["residual"]
+                             rel_tol=1e-3)
+        _, floor = solvers.cg(mg_apply, bb, precond=pre, max_iter=50,
+                              rel_tol=0.0)
+        return info["iterations"], info["residual"], floor["residual"]
 
-    mg_iters_, mg_res_ = mg_info(bb)
+    mg_iters_, mg_res_, mg_floor_ = mg_info(bb)
     mg_iters = int(mg_iters_)
-    mg_rel_res = float(mg_res_) / float(jnp.linalg.norm(bb))
+    nb = float(jnp.linalg.norm(bb))
+    mg_rel_res = float(mg_res_) / nb
+    mg_floor = float(mg_floor_) / nb
 
     # end-to-end flagship step: 2D cut wave RK4 (4 stages x mass-CG +
     # matrix-free cut stiffness RHS), f32, 128^2
@@ -222,9 +229,10 @@ def main():
             "pallas_dof_per_s": pallas,
             "cg100_1024_s": cg_time,
             "cg_iterations": cg_iters,
-            "mg_cg_solve_1e6_1024_s": mg_time,
+            "mg_cg_solve_1e3_1024_s": mg_time,
             "mg_cg_iterations": mg_iters,
             "mg_cg_rel_residual": mg_rel_res,
+            "mg_cg_f32_floor_50it": mg_floor,
             "cut_wave_rk4_step_128_s": wave_step_s,
             "timing": "host-synced differential chain (see docstring)",
         },

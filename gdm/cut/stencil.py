@@ -206,6 +206,18 @@ def schwarz_jacobi_preconditioner(st: StencilOperator, windows):
     if windows.size:
         covered[windows.reshape(-1)] = True
         loc = _local_blocks(band_flat, windows, grid, st.radius)
+        if not jax.config.jax_enable_x64:
+            # f32 path: the exact inverse of a kappa~1e12 block rounds
+            # to garbage (possibly indefinite) in f32, which DESTABILIZES
+            # preconditioned CG (observed: the composite DoD f32 run
+            # blows up x100/step while f64 is stable).  A relative ridge
+            # of ~f32 eps caps the block condition at ~1e7 — everything
+            # f32 can express — while still resolving the bad modes far
+            # beyond point Jacobi.
+            m = loc.shape[-1]
+            d = np.einsum("nii->ni", loc)
+            ridge = 1e-7 * d.max(axis=1)
+            loc = loc + ridge[:, None, None] * np.eye(m)
         inv = np.linalg.inv(loc)
         inv_d = jnp.asarray(inv)
         win_d = jnp.asarray(windows)

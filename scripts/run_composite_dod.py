@@ -45,7 +45,10 @@ def main():
         params.solver_max_iterations = 400
     prob = AdvectionProblem(params, verbose=quick)
     t0 = time.time()
-    rows = prob.run() if python_loop else prob.run_scan()
+    # chunk=32: the remote-TPU relay kills single programs much beyond
+    # ~2-3 device-minutes; 32 steps x 8 preconditioned mass-CG solves
+    # stays well under that
+    rows = prob.run() if python_loop else prob.run_scan(chunk=32)
     wall = time.time() - t0
     with open(out_path, "w") as f:
         f.write("# composite DoD run (advection-app.cc config), "
