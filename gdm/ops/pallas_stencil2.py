@@ -152,7 +152,7 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
         W = jnp.zeros((T_ext, W2), dtype)
         for l in range(K):
             shift = (p - l) % W2  # cyclic; pad lanes have zero coeffs
-            r = pltpu.roll(uw, shift, axis=1)
+            r = uw if shift == 0 else pltpu.roll(uw, shift, axis=1)
             V = V + b1m_ref[l : l + 1, :] * r
             W = W + b1s_ref[l : l + 1, :] * r
         return V, W
