@@ -63,6 +63,8 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
     N0, N1 = grid.nodes
     if rows in ("mxu", "mxu3"):
         tile_r = min(tile_r, 128)
+    if rows == "mxu3p":
+        tile_r = min(tile_r, 256)
     tile_r = min(tile_r, _round_up(N0, 8))
     Rp = _round_up(N0, tile_r)
     W2 = _round_up(N1 + 2 * p, 128)
@@ -85,7 +87,7 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
     for l in range(K):
         b1s[l, p : p + N1] = band1s[:, l]
         b1m[l, p : p + N1] = band1m[:, l]
-    if rows in ("mxu", "mxu3"):
+    if rows in ("mxu", "mxu3", "mxu3p"):
         # dense per-tile row matrices for the MXU path:
         # y_tile = Bcat_i @ [V; W],  Bcat_i = [S0 window | M0 window]
         Bcat = np.zeros((n_tiles, tile_r, 2 * T_ext))
@@ -103,7 +105,7 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
         # f64 (interpret-mode tests) split to f32 instead: same code
         # path, dtype-scaled accuracy.
         split_dt = jnp.float32 if dtype == jnp.float64 else jnp.bfloat16
-        if rows == "mxu3":
+        if rows in ("mxu3", "mxu3p"):
             B_hi = Bflat.astype(dtype).astype(split_dt)
             B_lo = (Bflat.astype(dtype)
                     - np.asarray(B_hi, dtype)).astype(split_dt)
@@ -356,7 +358,104 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
             if n_tiles > 1:
                 out_copy(i - 1, (i - 1) % 2).wait()
 
-    if rows == "mxu3":
+
+    def kernel_mxu3p(u_hbm, bhi_ref, blo_ref, b1s_ref, b1m_ref, y_hbm,
+                     bufs, ytile, zrows, vwhi, vwlo, sem_in, sem_out,
+                     sem_z):
+        # Cross-tile software-pipelined mxu3: step i ISSUES the three
+        # bf16 matmuls for tile i-1 (operands staged at step i-1) BEFORE
+        # running tile i's VPU rolls, so the MXU drains underneath the
+        # roll loop; tile i-1's output is collected after the rolls.
+        i = pl.program_id(0)
+        in_copy, out_copy = make_helpers(u_hbm, y_hbm, bufs, ytile,
+                                         sem_in, sem_out)
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+            in_copy(1, 1).start()
+            write_guard_zeros(y_hbm, zrows, sem_z)
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            in_copy(i + 1, (i + 1) % 2).start()
+
+        slot = i % 2
+        prev = (i - 1) % 2
+        in_copy(i, slot).wait()
+        dn = (((1,), (0,)), ((), ()))
+
+        def dots(t_slot, t_index):
+            rs = pl.multiple_of(t_index * tile_r, 8)
+            bh = bhi_ref[pl.ds(rs, tile_r), :]
+            bl = blo_ref[pl.ds(rs, tile_r), :]
+            hi = vwhi[t_slot]
+            lo = vwlo[t_slot]
+            acc = jax.lax.dot_general(bh, hi, dimension_numbers=dn,
+                                      preferred_element_type=dtype)
+            acc = acc + jax.lax.dot_general(bh, lo, dimension_numbers=dn,
+                                            preferred_element_type=dtype)
+            acc = acc + jax.lax.dot_general(bl, hi, dimension_numbers=dn,
+                                            preferred_element_type=dtype)
+            return acc
+
+        @pl.when(i > 0)
+        def _():
+            acc_prev = dots(prev, jnp.maximum(i - 1, 0))
+            # stage tile i's operands (VPU) — the scheduler overlaps the
+            # in-flight matmuls with these rolls
+            V, W = stage1(bufs[slot], b1s_ref, b1m_ref)
+            vwhi[slot, 0:T_ext, :] = V.astype(split_dt)
+            vwhi[slot, T_ext : 2 * T_ext, :] = W.astype(split_dt)
+            vwlo[slot, 0:T_ext, :] = (
+                V - vwhi[slot, 0:T_ext, :].astype(dtype)).astype(split_dt)
+            vwlo[slot, T_ext : 2 * T_ext, :] = (
+                W - vwhi[slot, T_ext : 2 * T_ext, :].astype(dtype)
+            ).astype(split_dt)
+
+            @pl.when(i >= 3)
+            def _():
+                out_copy(i - 3, prev).wait()
+
+            ytile[prev] = acc_prev
+            out_copy(i - 1, prev).start()
+
+        @pl.when(i == 0)
+        def _():
+            V, W = stage1(bufs[slot], b1s_ref, b1m_ref)
+            vwhi[slot, 0:T_ext, :] = V.astype(split_dt)
+            vwhi[slot, T_ext : 2 * T_ext, :] = W.astype(split_dt)
+            vwlo[slot, 0:T_ext, :] = (
+                V - vwhi[slot, 0:T_ext, :].astype(dtype)).astype(split_dt)
+            vwlo[slot, T_ext : 2 * T_ext, :] = (
+                W - vwhi[slot, T_ext : 2 * T_ext, :].astype(dtype)
+            ).astype(split_dt)
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            # epilogue: the last tile's own matmuls and output
+            acc = dots(slot, i)
+
+            @pl.when(i >= 2)
+            def _():
+                out_copy(i - 2, slot).wait()
+
+            ytile[slot] = acc
+            out_copy(i, slot).start()
+            out_copy(i, slot).wait()
+            out_copy(i - 1, prev).wait()
+
+    if rows == "mxu3p" and n_tiles > 1:
+        # whole B tables VMEM-resident (tiny in bf16); per-tile rows are
+        # sliced inside the kernel since step i consumes tile i-1's rows
+        table_specs = [
+            pl.BlockSpec((n_tiles * tile_r, 2 * T_ext), lambda i: (0, 0)),
+            pl.BlockSpec((n_tiles * tile_r, 2 * T_ext), lambda i: (0, 0))]
+        extra_scratch = [pltpu.VMEM((NB, 2 * T_ext, W2), split_dt),
+                         pltpu.VMEM((NB, 2 * T_ext, W2), split_dt)]
+        kernel = kernel_mxu3p
+        grid_steps = n_tiles
+    elif rows in ("mxu3", "mxu3p"):
         table_specs = [pl.BlockSpec((tile_r, 2 * T_ext), lambda i: (i, 0)),
                        pl.BlockSpec((tile_r, 2 * T_ext), lambda i: (i, 0))]
         extra_scratch = [pltpu.VMEM((2 * T_ext, W2), split_dt),
@@ -1449,11 +1548,12 @@ def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False):
     """Auto-select the best 2D/3D kernel (v5e-measured, honest chained
     timing — see bench.timed_chain):
 
-    * 2D: mxu3 with tile_r=64 everywhere — 31.8/30.8/27.6 GDoF/s at
-      1024^2/2048^2/4096^2 p=3 and 23.1 at p=5 1024^2, vs 28.9 for the
-      best pure-VPU config and 25.9/27.7 for the multi-pass XLA path.
-      The small tile keeps the dense row-matmul K-dim (2*(tile_r+2H))
-      minimal; the kernel is bound by the VPU column rolls.
+    * 2D: cross-tile-pipelined mxu3p with tile_r=64 everywhere —
+      35.5/33.6/28.6 GDoF/s at 1024^2/2048^2/4096^2 p=3 (vs 31.6/30.9/
+      27.9 unpipelined mxu3, 28.9 best pure-VPU, 25.9/27.7 multi-pass
+      XLA).  The small tile keeps the dense row-matmul K-dim minimal;
+      issuing tile i-1's matmuls before tile i's rolls drains the MXU
+      under the roll loop.  Falls back to mxu3 when single-tile.
     * dim == 3: the plane-lanes MXU kernel (laplace3_mxu, 7.1 GDoF/s at
       160^3 vs 6.8 for the all-VPU laplace3 and 5.3 for XLA) while the
       plane count fits its dense lane transform; the all-VPU kernel
@@ -1463,7 +1563,7 @@ def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False):
         if grid.nodes[0] + 2 * grid.degree <= 512:
             return make_padded_laplace3_mxu(grid, dtype, interpret=interpret)
         return make_padded_laplace3(grid, dtype, interpret=interpret)
-    return make_padded_laplace2(grid, dtype, tile_r=64, rows="mxu3",
+    return make_padded_laplace2(grid, dtype, tile_r=64, rows="mxu3p",
                                 interpret=interpret)
 
 
