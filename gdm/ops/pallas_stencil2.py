@@ -1281,7 +1281,7 @@ def make_padded_laplace2_hybrid(grid: Grid, dtype=jnp.float32,
 
 def make_padded_laplace3_mxu(grid: Grid, dtype=jnp.float32,
                              tile_planes1: int = None,
-                             interpret: bool = False):
+                             interpret: bool = False, chunk: int = 1024):
     """Fused 3D GD Laplace with the plane-coupling stage on the MXU.
 
     Same operator as make_padded_laplace3 (y = S0⊗M1⊗M2 + M0⊗S1⊗M2 +
@@ -1369,7 +1369,7 @@ def make_padded_laplace3_mxu(grid: Grid, dtype=jnp.float32,
     c1s, c1m = jnp.asarray(c1s, dtype), jnp.asarray(c1m, dtype)
     C_hi, C_lo = jnp.asarray(C_hi), jnp.asarray(C_lo)
 
-    CS = 512
+    CS = chunk
 
     def kernel(u_hbm, c1s_ref, c1m_ref, c2s_ref, c2m_ref, chi_ref, clo_ref,
                y_hbm, bufs, ytile, zrows, Abuf, Bbuf, pthi, ptlo,
