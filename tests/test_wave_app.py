@@ -55,6 +55,21 @@ CASES = [
 ]
 
 
+# sharp SELF-pins for the 2D cases whose golden comparison is held at
+# cut-quadrature-flavor tolerance (1e-4/1e-5 above): the framework's own
+# values are reproducible to ~1e-10, so regressions inside that band are
+# still caught.  (The Q1-gap arbiter, tests/test_cut_poisson01_arbiter.py,
+# establishes with an independent integrator that our discrete values are
+# correct to 7 digits; the residual 2D golden gap is reference-flavor.)
+SELF_PINS = {
+    # preset, dim -> final-row (L2, L1, Linf)
+    ("step85", 2): (8.520111925432e-09, 3.946037221257e-09,
+                    8.594071831958e-08),
+    ("wave", 2): (2.796609356852e-04, 3.862759100516e-04,
+                  9.791219478579e-04),
+}
+
+
 @pytest.mark.parametrize(
     "output,preset,dim,n_slots,rtol_l2,rtol_linf",
     CASES,
@@ -75,3 +90,8 @@ def test_wave_app_golden(output, preset, dim, n_slots, rtol_l2, rtol_linf):
             np.testing.assert_allclose(ml2, gl2, rtol=rtol_l2)
             np.testing.assert_allclose(ml1, gl1, rtol=rtol_l2)
             np.testing.assert_allclose(mli, gli, rtol=rtol_linf)
+    if (preset, dim) in SELF_PINS and n_slots == 1:
+        # rtol 1e-5, not tighter: XLA:CPU codegen differs across host
+        # CPUs at the ~1e-6 level on these trajectories
+        np.testing.assert_allclose(
+            prob.rows[0][-1][2:5], SELF_PINS[(preset, dim)], rtol=1e-5)
