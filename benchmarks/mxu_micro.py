@@ -1,9 +1,26 @@
-"""Microbenchmark: MXU matmul throughput by precision + dtype on the
-attached TPU.  Informs the stencil-kernel design (how expensive it is to
-run banded sweeps as dense-banded MXU matmuls in f32).
+"""Microbenchmarks for the stencil-kernel design space on the attached
+TPU: (a) MXU matmul throughput by precision/dtype, (b) the cross-lane
+ROLL throughput ceiling that bounds every roll-based column stage.
 
-Run with the environment UNTOUCHED (real TPU), one job at a time.
+(b) is the auditable ceiling for the 2D matvec kernels: the column stage
+of the vpu/mxu3/mxu3p kernels does K = 2p+1 cross-lane rolls + 2K slice
+FMAs per tile.  Three stripped kernels over the exact same padded
+layout, tiling, and DMA schedule isolate the costs:
+
+  * stage1_full:  K rolls + 2K FMAs (the real column stage), y = V + W
+  * stage1_norolls: same FMAs, rolls elided (shift 0)  -> FMA-only cost
+  * rolls_only:   K rolls + K adds, no coefficient FMAs -> roll cost
+
+roll cost/pass = (t_full - t_norolls) / K; the ceiling for ANY kernel
+that keeps the K-roll column stage is t(stage1_full) + t(row stage),
+since V and W must both be formed.  Compare with the full mxu3p kernel
+to see how close the shipped kernel sits to that ceiling, and with the
+roll-free mxucol kernel (column stage on the MXU) that replaces it.
+
+Run with the environment UNTOUCHED (real TPU), one job at a time:
+    python benchmarks/mxu_micro.py [quick]
 """
+import sys
 import time
 
 import jax
@@ -36,19 +53,191 @@ def bench_matmul(m, k, n, dtype, precision, iters=50):
     return 2 * m * k * n / dt / 1e12
 
 
+def make_stage1_micro(grid, mode, dtype=jnp.float32, tile_r=256,
+                      interpret=False):
+    """Stripped column-stage kernel over the mxu3p padded layout.
+
+    mode: "full" (K rolls + 2K FMAs), "norolls" (2K FMAs, shift elided),
+    "rollsonly" (K rolls + K adds).  Output y = V + W (or sum of rolls)
+    written once per tile; same double-buffered DMA schedule as the real
+    kernels, so the difference between modes is pure compute.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gdm.ops.pallas_stencil2 import _round_up
+    from gdm.ops1d import mass_1d, stiffness_1d
+
+    p = grid.degree
+    H = _round_up(p, 8)
+    N0, N1 = grid.nodes
+    tile_r = min(tile_r, _round_up(N0, 8))
+    T_ext = tile_r + 2 * H
+    Rp = _round_up(N0, tile_r)
+    n_tiles = Rp // tile_r
+    W2 = _round_up(N1 + 2 * p, 128)
+    K = 2 * p + 1
+    R_ext = Rp + 2 * H
+    NB = 1 if n_tiles == 1 else 2
+
+    b1s = np.zeros((K, W2))
+    b1m = np.zeros((K, W2))
+    band1s = stiffness_1d(p, grid.cells[1], grid.h[1]).band
+    band1m = mass_1d(p, grid.cells[1], grid.h[1]).band
+    for l in range(K):
+        b1s[l, p : p + N1] = band1s[:, l]
+        b1m[l, p : p + N1] = band1m[:, l]
+    b1s = jnp.asarray(b1s, dtype)
+    b1m = jnp.asarray(b1m, dtype)
+
+    def kernel(u_hbm, b1s_ref, b1m_ref, y_hbm, bufs, ytile,
+               sem_in, sem_out):
+        i = pl.program_id(0)
+
+        def in_copy(t, slot):
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(pl.multiple_of(t * tile_r, 8), T_ext), :],
+                bufs.at[slot], sem_in.at[slot])
+
+        def out_copy(t, slot):
+            return pltpu.make_async_copy(
+                ytile.at[slot],
+                y_hbm.at[pl.ds(pl.multiple_of(H + t * tile_r, 8),
+                               tile_r), :],
+                sem_out.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+            if n_tiles > 1:
+                in_copy(1, 1).start()
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            in_copy(i + 1, (i + 1) % 2).start()
+
+        slot = i % NB
+        in_copy(i, slot).wait()
+
+        uw = bufs[slot, H : H + tile_r, :]
+        acc = jnp.zeros((tile_r, W2), dtype)
+        for l in range(K):
+            shift = (p - l) % W2
+            if mode == "norolls" or shift == 0:
+                r = uw
+            else:
+                r = pltpu.roll(uw, shift, axis=1)
+            if mode == "rollsonly":
+                acc = acc + r
+            else:
+                acc = acc + b1m_ref[l : l + 1, :] * r
+                acc = acc + b1s_ref[l : l + 1, :] * r
+
+        @pl.when(i >= 2)
+        def _():
+            out_copy(i - 2, slot).wait()
+
+        ytile[slot] = acc
+        out_copy(i, slot).start()
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            out_copy(i, slot).wait()
+            if n_tiles > 1:
+                out_copy(i - 1, (i - 1) % 2).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_ext, W2), dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((K, W2), lambda i: (0, 0)),
+            pl.BlockSpec((K, W2), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NB, T_ext, W2), dtype),
+            pltpu.VMEM((NB, tile_r, W2), dtype),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA((NB,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def apply_padded(u_pad):
+        return call(u_pad, b1s, b1m)
+
+    return apply_padded, (R_ext, W2)
+
+
+def roll_ceiling(n=1024, p=3, tile_r=256):
+    """Measure the roll/FMA decomposition of the column stage and the
+    full-kernel rates it bounds.  Returns a dict of microseconds per
+    MDoF (and GDoF/s for the full kernels)."""
+    from gdm.grid import Grid
+    from gdm.ops.pallas_stencil2 import (
+        make_padded_laplace2, make_padded_laplace2_mxucol)
+    from bench import timed_chain
+
+    grid = Grid(p, (n, n), (0.0, 0.0), (1.0, 1.0))
+    ndof = grid.n_nodes
+    K = 2 * p + 1
+    out = {"n": n, "p": p, "K": K}
+
+    for mode in ("full", "norolls", "rollsonly"):
+        ap, shape = make_stage1_micro(grid, mode, tile_r=tile_r)
+        u = jnp.ones(shape, jnp.float32)
+        dt = timed_chain(lambda v: ap(v) * 1e-3, u)
+        out[f"stage1_{mode}_us_per_mdof"] = dt / ndof * 1e12
+
+    out["roll_us_per_pass_per_mdof"] = (
+        out["stage1_full_us_per_mdof"]
+        - out["stage1_norolls_us_per_mdof"]) / K
+    # FMA passes in "norolls": 2K fused multiply-adds
+    out["fma_us_per_pass_per_mdof"] = (
+        out["stage1_norolls_us_per_mdof"] / (2 * K))
+
+    for name, factory in (
+            ("mxu3p", lambda g: make_padded_laplace2(
+                g, jnp.float32, tile_r=64, rows="mxu3p")),
+            ("mxucol", lambda g: make_padded_laplace2_mxucol(
+                g, jnp.float32))):
+        ap, pad, unpad, shape = factory(grid)
+        u = pad(jnp.ones(grid.nodes, jnp.float32))
+        dt = timed_chain(lambda v: ap(v) * 1e-3, u)
+        out[f"{name}_gdof_per_s"] = ndof / dt / 1e9
+        out[f"{name}_us_per_mdof"] = dt / ndof * 1e12
+    return out
+
+
 if __name__ == "__main__":
     print("platform:", jax.devices()[0].platform)
-    M = K = N = 4096
-    for dtype, precisions in (
-        (jnp.bfloat16, ["DEFAULT"]),
-        (jnp.float32, ["DEFAULT", "HIGH", "HIGHEST"]),
-    ):
-        for pname in precisions:
-            prec = getattr(jax.lax.Precision, pname)
-            tf = bench_matmul(M, K, N, dtype, prec)
-            print(f"{dtype.__name__:9s} {pname:8s} {tf:7.1f} Tflop/s")
-    # skinny shapes like the stencil kernel uses: (128, 144) @ (144, W)
-    for (m, k, n) in ((256, 144, 2176), (2176, 144, 128), (256, 288, 2176)):
-        tf = bench_matmul(m, k, n, jnp.float32, jax.lax.Precision.HIGHEST,
-                          iters=200)
-        print(f"f32 HIGHEST ({m}x{k}x{n}): {tf:7.2f} Tflop/s")
+    quick = "quick" in sys.argv[1:]
+    if not quick:
+        M = K = N = 4096
+        for dtype, precisions in (
+            (jnp.bfloat16, ["DEFAULT"]),
+            (jnp.float32, ["DEFAULT", "HIGH", "HIGHEST"]),
+        ):
+            for pname in precisions:
+                prec = getattr(jax.lax.Precision, pname)
+                tf = bench_matmul(M, K, N, dtype, prec)
+                print(f"{dtype.__name__:9s} {pname:8s} {tf:7.1f} Tflop/s")
+        # skinny shapes like the stencil kernels use
+        for (m, k, n) in ((256, 144, 2176), (2176, 144, 128),
+                          (272, 256, 256)):
+            tf = bench_matmul(m, k, n, jnp.bfloat16,
+                              jax.lax.Precision.DEFAULT, iters=200)
+            print(f"bf16 DEFAULT ({m}x{k}x{n}): {tf:7.2f} Tflop/s")
+    for n, p in ((1024, 3), (2048, 3), (1024, 5)):
+        r = roll_ceiling(n=n, p=p)
+        print(f"--- {n}^2 p={p} (K={r['K']}) ---")
+        for k in ("stage1_full_us_per_mdof", "stage1_norolls_us_per_mdof",
+                  "stage1_rollsonly_us_per_mdof",
+                  "roll_us_per_pass_per_mdof", "fma_us_per_pass_per_mdof",
+                  "mxu3p_us_per_mdof", "mxu3p_gdof_per_s",
+                  "mxucol_us_per_mdof", "mxucol_gdof_per_s"):
+            print(f"  {k:32s} {r[k]:9.3f}")

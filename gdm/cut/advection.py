@@ -95,6 +95,64 @@ class AdvectionOperators:
         y = ops._gp_apply(y, u, -gamma_A * ops.h_min**2)
         return y
 
+    def compute_rhs_strong(self, u, gamma_A=0.0):
+        """Advection RHS in the alpha=1 (non-integrated-by-parts) form
+        used by the reference's STRONG-Dirichlet path
+        (prototypes/advection_02_gdm.cc:424-427 with alpha=1.0,
+        weak_bc=false): r(v) = -(a . grad u, v)_K, no boundary-face flux
+        terms; boundary values are enforced nodally by the caller."""
+        ops = self.ops
+        y = jnp.zeros_like(u)
+        if len(ops.full_ids):
+            mats = jnp.asarray(
+                self._full_matrices_strong())[jnp.asarray(ops.cat_full)]
+            win = jnp.asarray(ops.w_full)
+            y = y.at[win.reshape(-1)].add(
+                jnp.einsum("nij,nj->ni", mats, u[win]).reshape(-1))
+        if len(ops.cut_ids):
+            G = jnp.asarray(ops.G_cut)
+            V = jnp.asarray(ops.V_cut)
+            w = jnp.asarray(ops.vol_w)
+            win = jnp.asarray(ops.w_cut)
+            gq = jnp.einsum("nqdi,ni,d->nq", G, u[win], jnp.asarray(self.a))
+            y = y.at[win.reshape(-1)].add(
+                jnp.einsum("nqi,nq,nq->ni", V, -gq, w).reshape(-1))
+        y = ops._gp_apply(y, u, -gamma_A * ops.h_min**2)
+        return y
+
+    def _full_matrices_strong(self):
+        """(ncat^dim, m, m) cell matrices -(a . grad u, v)."""
+        if not hasattr(self, "_full_mats_strong"):
+            from ..ops1d import local_matrices_1d
+
+            grid = self.ops.grid
+            p = grid.degree
+            dim = grid.dim
+            ncat = max(p, 1)
+            A00 = local_matrices_1d(p, 0, 0, self.ops.nq)
+            A01 = local_matrices_1d(p, 0, 1, self.ops.nq)
+            mats = np.zeros(((ncat,) * dim) + ((p + 1) ** dim,
+                                               (p + 1) ** dim))
+            for combo in np.ndindex(*([ncat] * dim)):
+                total = 0.0
+                for dd in range(dim):
+                    if self.a[dd] == 0.0:
+                        continue
+                    term = np.ones((1, 1))
+                    for d in range(dim):
+                        if d == dd:
+                            f = A01[combo[d]] * (-self.a[dd])  # h^0
+                        else:
+                            f = A00[combo[d]] * grid.h[d]
+                        term = np.kron(f, term)
+                    total = total + term
+                mats[combo] = total
+            m = (p + 1) ** dim
+            self._full_mats_strong = np.transpose(
+                mats, tuple(range(dim - 1, -1, -1)) + (dim, dim + 1)
+            ).reshape(-1, m, m)
+        return self._full_mats_strong
+
     def _full_matrices(self):
         """(ncat^dim, m, m) cell advection matrices (u a, grad v)."""
         if not hasattr(self, "_full_mats"):

@@ -296,7 +296,10 @@ class CutOperators:
 
         1D: the boundary point (weight 1) if the interpolated level set
         puts it on this location's side.  2D: 1D cut quadrature along the
-        face via the same root-finding machinery.
+        face via the same root-finding machinery.  3D: 2D Saye-style
+        dimension reduction on the face restriction of the level-set
+        polynomial (_face_quad_3d) — the reference's boundary-face loop
+        is dim-generic (wave/stiffness.h:261-330).
         """
         grid = self.grid
         geo = self.geo
@@ -306,19 +309,6 @@ class CutOperators:
         gx, gw = quadrature.gauss(self.nq)
         items = []  # (cell_flat, V (Qb,m), G (Qb,dim,m), w (Qb,), normal(dim,), phys (Qb,dim))
         want_neg = self.location == INSIDE
-        if dim > 2:
-            # (cut) domain-boundary face quadrature is 1D/2D only; 3D
-            # problems with domain_dbc are not supported yet
-            items = []
-            self.bdry = items
-            m3 = (grid.degree + 1) ** dim
-            self.b_V = np.zeros((0, 1, m3))
-            self.b_G = np.zeros((0, 1, dim, m3))
-            self.b_w = np.zeros((0, 1))
-            self.b_phys = np.zeros((0, 1, dim))
-            self.b_normal = np.zeros((0, dim))
-            self.b_win = np.zeros((0, m3), dtype=np.int32)
-            return
         from .geometry import QuadratureGenerator, _flatten
 
         qg = QuadratureGenerator(geo.ls, self.nq)
@@ -345,6 +335,11 @@ class CutOperators:
                             continue
                         pts_ref = pt
                         w = np.array([1.0])
+                    elif dim == 3:
+                        pts_ref, w = _face_quad_3d(
+                            qg, idx, d, face_coord, want_neg, gx, gw, grid)
+                        if len(w) == 0:
+                            continue
                     else:
                         tang = [e for e in range(dim) if e != d][0]
                         # polynomial along the face
@@ -526,12 +521,6 @@ class CutOperators:
                 (nitsche_gamma / self.h_min) * V - Gn, g, w)
             y = self._scatter(y, win, rhsv)
         # (IV) domain-boundary Nitsche
-        if domain_dbc is not None and self.grid.dim > 2:
-            # _build_boundary_faces emits no faces for dim > 2, which
-            # would silently drop the domain-boundary terms
-            raise NotImplementedError(
-                "domain_dbc (cut domain-boundary Nitsche faces) is "
-                "implemented for dim <= 2 only")
         if domain_dbc is not None and len(self.b_win):
             V = jnp.asarray(self.b_V)
             G = jnp.asarray(self.b_G)
@@ -637,6 +626,159 @@ class CutOperators:
             np.add.at(diag, self.gp_win.reshape(-1), d.reshape(-1))
         diag[self.inactive] += 1.0
         return diag
+
+
+def _face_quad_3d(qg, idx, d, face_coord, want_neg, gx, gw, grid,
+                  lo=(0.0, 0.0), hi=(1.0, 1.0), depth=0):
+    """Cut quadrature of the want-side region of the 2D face
+    {x_d = face_coord} of cell ``idx``.
+
+    Saye-style dimension reduction on the FACE RESTRICTION of the
+    per-cell level-set polynomial (one dimension below
+    geometry.QuadratureGenerator._box): pick a sign-definite height axis
+    among the two tangential axes, partition the base axis at the roots
+    of the two edge restrictions, Gauss + root-find per base point;
+    bisect the face square on tangency.  Returns (pts_ref (Q, 3),
+    w (Q,)) with PHYSICAL face-measure weights (matching the 2D path's
+    h[tang]-scaled weights).
+    """
+    from .geometry import (INSIDE, INTERSECTED, _ROOT_TOL,
+                           _classify_values)
+
+    ls = qg.ls
+    tang = [e for e in range(3) if e != d]
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    area = grid.h[tang[0]] * grid.h[tang[1]]
+
+    def face_pts(c1, c2):
+        c1 = np.asarray(c1, float).reshape(-1)
+        c2 = np.asarray(c2, float).reshape(-1)
+        pts = np.empty((len(c1), 3))
+        pts[:, d] = face_coord
+        pts[:, tang[0]] = c1
+        pts[:, tang[1]] = c2
+        return pts
+
+    def bisect():
+        parts = []
+        mid = 0.5 * (lo + hi)
+        for c1 in range(2):
+            for c2 in range(2):
+                nlo = np.array([lo[0] if c1 == 0 else mid[0],
+                                lo[1] if c2 == 0 else mid[1]])
+                nhi = np.array([mid[0] if c1 == 0 else hi[0],
+                                mid[1] if c2 == 0 else hi[1]])
+                parts.append(_face_quad_3d(
+                    qg, idx, d, face_coord, want_neg, gx, gw, grid,
+                    nlo, nhi, depth + 1))
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+    def fallback(n=8):
+        m1 = lo[0] + (np.arange(n) + 0.5) / n * (hi[0] - lo[0])
+        m2 = lo[1] + (np.arange(n) + 0.5) / n * (hi[1] - lo[1])
+        M1, M2 = np.meshgrid(m1, m2, indexing="ij")
+        pts = face_pts(M1, M2)
+        vals = ls.eval_cell(idx, pts)
+        keep = (vals < 0) == want_neg
+        w = np.full(keep.sum(),
+                    area * (hi[0] - lo[0]) * (hi[1] - lo[1]) / n**2)
+        return pts[keep], w
+
+    # classify the face box by dense sampling of the polynomial
+    s1 = np.linspace(lo[0], hi[0], 7)
+    s2 = np.linspace(lo[1], hi[1], 7)
+    M1, M2 = np.meshgrid(s1, s2, indexing="ij")
+    spts = face_pts(M1, M2)
+    vals = ls.eval_cell(idx, spts)
+    loc = _classify_values(vals)
+    if loc != INTERSECTED:
+        if (loc == INSIDE) != want_neg:
+            return np.zeros((0, 3)), np.zeros(0)
+        p1 = lo[0] + gx * (hi[0] - lo[0])
+        p2 = lo[1] + gx * (hi[1] - lo[1])
+        P1, P2 = np.meshgrid(p1, p2, indexing="ij")
+        W = np.outer(gw * (hi[0] - lo[0]),
+                     gw * (hi[1] - lo[1])).reshape(-1) * area
+        return face_pts(P1, P2), W
+
+    # sign-definite height axis among the tangential axes (face-local)
+    g = np.empty((2, len(spts)))
+    for i, ax in enumerate(tang):
+        deriv = tuple(1 if e == ax else 0 for e in range(3))
+        g[i] = ls.eval_cell(idx, spts, deriv)
+    best_k, best_min = -1, 0.0
+    for i in range(2):
+        gd = g[i] / (hi[i] - lo[i] + 1e-300)
+        if np.all(gd > 0) or np.all(gd < 0):
+            m = np.abs(gd).min()
+            if m > best_min:
+                best_k, best_min = i, m
+    gmax = np.abs(g).max() + 1e-300
+    if best_k < 0 or best_min < 1e-3 * gmax:
+        if depth < qg.max_depth:
+            return bisect()
+        return fallback()
+
+    hk = best_k          # face-local height index
+    bl = 1 - hk          # face-local base index
+    gk, gb = tang[hk], tang[bl]
+
+    # partition the base axis at the roots of the two edge restrictions
+    cuts = [lo[bl], hi[bl]]
+    for c in (lo[hk], hi[hk]):
+        cpoly = qg._poly_on_line(idx, gb, {d: face_coord, gk: c})
+        cuts.extend(qg._roots_in(cpoly, lo[bl], hi[bl]).tolist())
+    cuts = np.unique(np.asarray(cuts))
+    base_pts, base_ws = [], []
+    for a_, b_ in zip(cuts[:-1], cuts[1:]):
+        if b_ - a_ < _ROOT_TOL:
+            continue
+        base_pts.extend(a_ + gx * (b_ - a_))
+        base_ws.extend(gw * (b_ - a_))
+
+    # phase 1: root-find every height line, tangency guard BEFORE
+    # accumulating (a bisect restarts the whole face)
+    lines = []
+    for cb, wb in zip(base_pts, base_ws):
+        cpoly = qg._poly_on_line(idx, gk, {d: face_coord, gb: cb})
+        roots = qg._roots_in(cpoly, lo[hk], hi[hk])
+        if len(roots):
+            rpts = np.empty((len(roots), 3))
+            rpts[:, d] = face_coord
+            rpts[:, gk] = roots
+            rpts[:, gb] = cb
+            gkv = ls.eval_cell(
+                idx, rpts, tuple(1 if e == gk else 0 for e in range(3)))
+            gbv = ls.eval_cell(
+                idx, rpts, tuple(1 if e == gb else 0 for e in range(3)))
+            if np.any(np.abs(gkv) < 1e-8 * np.hypot(gkv, gbv)):
+                if depth < qg.max_depth:
+                    return bisect()
+                return fallback()
+        lines.append((cb, wb, cpoly, roots))
+
+    # phase 2: accumulate want-side sub-intervals
+    pts_out, w_out = [], []
+    for cb, wb, cpoly, roots in lines:
+        breaks = np.concatenate([[lo[hk]], roots, [hi[hk]]])
+        for ia, ib in zip(breaks[:-1], breaks[1:]):
+            if ib - ia < _ROOT_TOL:
+                continue
+            mid = 0.5 * (ia + ib)
+            if (np.polyval(cpoly[::-1], mid) < 0) != want_neg:
+                continue
+            for sx, sw in zip(ia + gx * (ib - ia), gw * (ib - ia)):
+                pt = np.empty(3)
+                pt[d] = face_coord
+                pt[gk] = sx
+                pt[gb] = cb
+                pts_out.append(pt)
+                w_out.append(wb * sw * area)
+    if not pts_out:
+        return np.zeros((0, 3)), np.zeros(0)
+    return np.asarray(pts_out), np.asarray(w_out)
 
 
 def _cat_tuple(flat, p, dim):

@@ -1544,6 +1544,259 @@ def make_padded_laplace3_mxu(grid: Grid, dtype=jnp.float32,
     return apply_padded, pad, unpad, (R_ext, W0)
 
 
+def make_padded_laplace2_mxucol(grid: Grid, dtype=jnp.float32,
+                                tile_r: int = 256, interpret: bool = False):
+    """Roll-free-column fused 2D GD Laplace: the column stage rides the
+    MXU, the row stage rides the VPU, cross-tile software-pipelined.
+
+    The pure-VPU/mxu3p kernels are bound by the 2p+1 cross-lane rolls of
+    the column stage (~4.3 cycles/vreg each vs ~0.2 for a slice FMA —
+    see benchmarks/mxu_micro.py).  This kernel eliminates ALL per-tap
+    rolls:
+
+    * column stage (MXU): per 128-lane output block j,
+      [V_j | W_j] = u[:, j*128 : j*128+256] @ C_j with C_j a (256, 256)
+      banded table, bf16x3 (hi*hi + hi*lo + lo*hi at DEFAULT precision,
+      ~1e-6 relative).  The minimum operand window for a 128-lane output
+      with a 2p+1 band is 2 vregs, so the MXU cost is 3072 flop/dof —
+      ~21 us/MDoF at the measured 146 Tflop/s effective bf16 rate.
+      Window alignment without a pre-roll: V/W store data column c at
+      lane 128 + c while u stores it at lane 128 + p + c, so every tap
+      lands at window lane x + l in [0, 127 + 2p] — the -p layout shift
+      is undone by ONE post-roll of the y tile.
+    * row stage (VPU): y = S0 V + M0 W as sublane-offset slice FMAs
+      (cheap), run for tile i-1 WHILE tile i's matmuls drain on the MXU
+      (the cross-tile pipelining that bought mxu3p +10-12%); the stores
+      of tile i's dot results come after, so the VPU work between issue
+      and drain is dependency-free.
+
+    Layout: data lanes [128 + p, 128 + p + N1) inside W2e = W2i + 256
+    (one guard block each side), data rows [H, H + N0); closed under the
+    apply (guard/pad regions stay exactly zero), so CG can chain it.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert grid.dim == 2
+    p = grid.degree
+    assert p <= 15
+    H = _round_up(p, 8)
+    N0, N1 = grid.nodes
+    tile_r = min(tile_r, _round_up(N0, 8))
+    T_ext = tile_r + 2 * H
+    Rp = _round_up(N0, tile_r)
+    n_tiles = Rp // tile_r
+    W2i = _round_up(N1 + 2 * p, 128)
+    W2e = W2i + 256
+    nb = W2e // 128
+    K = 2 * p + 1
+    R_ext = Rp + 2 * H
+    NB = 1 if n_tiles == 1 else 2
+    split_dt = jnp.float32 if dtype == jnp.float64 else jnp.bfloat16
+
+    band0s = stiffness_1d(p, grid.cells[0], grid.h[0]).band
+    band0m = mass_1d(p, grid.cells[0], grid.h[0]).band
+    band1s = stiffness_1d(p, grid.cells[1], grid.h[1]).band
+    band1m = mass_1d(p, grid.cells[1], grid.h[1]).band
+
+    # row tables (Rp, 128), sliced per tile inside the kernel (the
+    # pipelined row stage at grid step i consumes tile i-1's rows)
+    b0s = np.zeros((Rp, 128))
+    b0m = np.zeros((Rp, 128))
+    b0s[:N0, :K] = band0s
+    b0m[:N0, :K] = band0m
+
+    # column block tables (nb, 256, 256): out lane x of block j is data
+    # col c = (j-1)*128 + x (the -p-shifted V/W layout); tap l reads
+    # data col c + l - p at absolute lane 128 + c + l = window lane x + l
+    C = np.zeros((nb, 256, 256))
+    jd = []
+    for j in range(1, nb - 1):
+        used = False
+        for x in range(128):
+            c = (j - 1) * 128 + x
+            if not (0 <= c < N1):
+                continue
+            used = True
+            for l in range(K):
+                C[j, x + l, x] = band1m[c, l]
+                C[j, x + l, 128 + x] = band1s[c, l]
+        if used:
+            jd.append(j)
+
+    def hl(a):
+        hi = a.astype(np.dtype(dtype)).astype(split_dt)
+        lo = (a.astype(np.dtype(dtype))
+              - np.asarray(hi, np.dtype(dtype))).astype(split_dt)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    Chi, Clo = hl(C.reshape(nb * 256, 256))
+    b0s, b0m = jnp.asarray(b0s, dtype), jnp.asarray(b0m, dtype)
+    dn = (((1,), (0,)), ((), ()))
+
+    def kernel(u_hbm, b0s_ref, b0m_ref, chi_ref, clo_ref, y_hbm,
+               bufs, ytile, zrows, Vbuf, Wbuf, sem_in, sem_out, sem_z):
+        i = pl.program_id(0)
+
+        def in_copy(t, slot):
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(pl.multiple_of(t * tile_r, 8), T_ext), :],
+                bufs.at[slot], sem_in.at[slot])
+
+        def out_copy(t, slot):
+            return pltpu.make_async_copy(
+                ytile.at[slot],
+                y_hbm.at[pl.ds(pl.multiple_of(H + t * tile_r, 8),
+                               tile_r), :],
+                sem_out.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+            if n_tiles > 1:
+                in_copy(1, 1).start()
+            zrows[...] = jnp.zeros((H, W2e), dtype)
+            for lo in (0, H + Rp):
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), H), :],
+                    sem_z).start()
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), H), :],
+                    sem_z).wait()
+            # blocks the dot loop never writes must stay zero (the row
+            # stage propagates V/W columns into y, and the post-roll
+            # wraps the last guard block's lanes into [0, p))
+            z = jnp.zeros((T_ext, 128), split_dt).astype(dtype)
+            for j in range(nb):
+                if j in jd:
+                    continue
+                for ref in (Vbuf, Wbuf):
+                    for s in range(NB):
+                        ref[s, :, j * 128 : (j + 1) * 128] = z
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            in_copy(i + 1, (i + 1) % 2).start()
+
+        slot = i % NB
+        prev = (i - 1) % NB
+        in_copy(i, slot).wait()
+
+        u = bufs[slot]
+        uhi = u.astype(split_dt)
+        ulo = (u - uhi.astype(dtype)).astype(split_dt)
+
+        # issue the column matmuls for tile i (MXU)
+        accs = []
+        for j in jd:
+            a = j * 128
+            chi = chi_ref[j * 256 : (j + 1) * 256, :]
+            clo = clo_ref[j * 256 : (j + 1) * 256, :]
+            acc = jax.lax.dot_general(
+                uhi[:, a : a + 256], chi, dimension_numbers=dn,
+                preferred_element_type=dtype)
+            acc = acc + jax.lax.dot_general(
+                uhi[:, a : a + 256], clo, dimension_numbers=dn,
+                preferred_element_type=dtype)
+            acc = acc + jax.lax.dot_general(
+                ulo[:, a : a + 256], chi, dimension_numbers=dn,
+                preferred_element_type=dtype)
+            accs.append(acc)
+
+        def row_stage(t_index, vslot):
+            # y_shifted = S0 V + M0 W (sublane slice FMAs), then ONE +p
+            # lane roll back into u's layout
+            rs = pl.multiple_of(t_index * tile_r, 8)
+            cs_ = b0s_ref[pl.ds(rs, tile_r), :]
+            cm_ = b0m_ref[pl.ds(rs, tile_r), :]
+            v_win = Vbuf[vslot]
+            w_win = Wbuf[vslot]
+            acc = jnp.zeros((tile_r, W2e), dtype)
+            for k in range(K):
+                off = H - p + k
+                acc = acc + cs_[:, k : k + 1] * v_win[off : off + tile_r, :]
+                acc = acc + cm_[:, k : k + 1] * w_win[off : off + tile_r, :]
+            return pltpu.roll(acc, p, axis=1)
+
+        # row stage for tile i-1 (VPU) runs while tile i's matmuls drain
+        @pl.when(i > 0)
+        def _():
+            y = row_stage(i - 1, prev)
+
+            @pl.when(i >= 3)
+            def _():
+                out_copy(i - 3, prev).wait()
+
+            ytile[prev] = y
+            out_copy(i - 1, prev).start()
+
+        # drain the matmuls into V/W for the NEXT step's row stage
+        for j, acc in zip(jd, accs):
+            a = j * 128
+            Vbuf[slot, :, a : a + 128] = acc[:, 0:128]
+            Wbuf[slot, :, a : a + 128] = acc[:, 128:256]
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            y = row_stage(i, slot)
+
+            @pl.when(i >= 2)
+            def _():
+                out_copy(i - 2, slot).wait()
+
+            ytile[slot] = y
+            out_copy(i, slot).start()
+            out_copy(i, slot).wait()
+            if n_tiles > 1:
+                out_copy(i - 1, prev).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_ext, W2e), dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Rp, 128), lambda i: (0, 0)),
+            pl.BlockSpec((Rp, 128), lambda i: (0, 0)),
+            pl.BlockSpec((nb * 256, 256), lambda i: (0, 0)),
+            pl.BlockSpec((nb * 256, 256), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NB, T_ext, W2e), dtype),
+            pltpu.VMEM((NB, tile_r, W2e), dtype),
+            pltpu.VMEM((H, W2e), dtype),
+            pltpu.VMEM((NB, T_ext, W2e), dtype),
+            pltpu.VMEM((NB, T_ext, W2e), dtype),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * len(jd) * T_ext * 256 * 256 * n_tiles,
+            bytes_accessed=2 * 4 * Rp * W2e,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def apply_padded(u_pad):
+        return call(u_pad, b0s, b0m, Chi, Clo)
+
+    def pad(u):
+        out = jnp.zeros((R_ext, W2e), dtype)
+        return jax.lax.dynamic_update_slice(
+            out, u.astype(dtype), (H, 128 + p))
+
+    def unpad(u_pad):
+        return u_pad[H : H + N0, 128 + p : 128 + p + N1]
+
+    return apply_padded, pad, unpad, (R_ext, W2e)
+
+
 def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False):
     """Auto-select the best 2D/3D kernel (v5e-measured, honest chained
     timing — see bench.timed_chain):

@@ -46,6 +46,10 @@ class AdvectionParams:
     max_val: float = 2.0
     advection: tuple = (1.0, 0.0)
     advection_1: tuple = (0.0, 0.0)
+    # strong nodal Dirichlet BC on the lower (inflow) surfaces instead of
+    # the weak upwind flux (prototypes/advection_02_gdm.cc:148,207-216,
+    # alpha=1.0 path); non-composite only
+    strong_bc: bool = False
     level_set_fe_degree: int = 1
     level_set_function: Optional[Callable] = None
     dim: int = 2
@@ -152,9 +156,20 @@ def composite_app_case() -> AdvectionParams:
 
 
 class AdvectionProblem:
-    def __init__(self, params: AdvectionParams, verbose: bool = False):
+    """``mesh``: optional 1-D jax.sharding.Mesh.  When given, the mass
+    solves run their stencil-band applies domain-decomposed along grid
+    axis 0 with ppermute halo exchange (mirroring WaveProblem; the
+    reference runs the advection apps under the same MPI machinery —
+    advection/include/gdm/advection/discretization.h:104-107 partitioner,
+    stiffness.h ghost exchange).  The upwind flux / BC forcing terms stay
+    single-program and are partitioned by XLA auto-SPMD.  Results are
+    shard-count-invariant (tests/test_distributed_cut.py)."""
+
+    def __init__(self, params: AdvectionParams, verbose: bool = False,
+                 mesh=None):
         self.params = params
         self.verbose = verbose
+        self.mesh = mesh
         pp = params
         dim = pp.dim
         self.grid = Grid(
@@ -189,7 +204,11 @@ class AdvectionProblem:
 
         st = assemble_stencil(op, "mass", gm)
         K = 2 * (op.grid.degree + 1) + 1
-        if op.grid.n_nodes * K**op.grid.dim <= 3e7:
+        if self.mesh is not None:
+            from ..dist.cut import sharded_stencil_apply
+
+            apply_fn = sharded_stencil_apply(st, self.mesh)
+        elif op.grid.n_nodes * K**op.grid.dim <= 3e7:
             apply_fn = st.apply
         else:
             apply_fn = lambda v: op.mass_apply(v, gm)
@@ -233,6 +252,9 @@ class AdvectionProblem:
 
     def run(self):
         pp = self.params
+        if pp.strong_bc and pp.composite:
+            raise ValueError("strong_bc supports non-composite runs only "
+                             "(as in the reference prototype)")
         delta_t = self.dx * pp.cfl / pp.max_val
         if pp.composite:
             return self._run_composite(delta_t)
@@ -254,8 +276,59 @@ class AdvectionProblem:
         bb = der(ops.b_phys, t) if len(ops.b_win) else jnp.zeros((0, 1))
         return jnp.asarray(bs), jnp.asarray(bb)
 
+    def _bdry_nodes(self):
+        """Flat node indices on the lower surface of every axis (the
+        reference constrains surfaces d*2, advection_02_gdm.cc:207-216)
+        and their physical coordinates."""
+        grid = self.grid
+        mesh = grid.node_coords_mesh()
+        mask = np.zeros(grid.nodes, dtype=bool)
+        for d in range(grid.dim):
+            sl = [slice(None)] * grid.dim
+            sl[d] = 0
+            mask[tuple(sl)] = True
+        idx = np.where(mask.reshape(-1))[0]
+        pts = np.stack([np.asarray(m).reshape(-1)[idx] for m in mesh],
+                       axis=-1)
+        return jnp.asarray(idx), pts
+
+    def _run_single_strong(self, delta_t):
+        """Strong-Dirichlet time loop (advection_02_gdm.cc weak_bc=false,
+        alpha=1.0): per RK stage the boundary nodes of the stage vector
+        are overwritten with exact(t_stage), the stage derivative is
+        zeroed there, and after each step the solution's boundary nodes
+        are set to exact(t+dt) (constraints_dbc.distribute)."""
+        pp = self.params
+        adv = self.adv_in
+        msolve = self._mass_solver(self.op_in)
+        bidx, bpts = self._bdry_nodes()
+
+        def gvals(t):
+            return jnp.asarray(pp.exact_solution(bpts, t))
+
+        def f(t, u):
+            u0 = u.at[bidx].set(gvals(t))
+            k = msolve(adv.compute_rhs_strong(u0, pp.ghost_parameter_A))
+            return k.at[bidx].set(0.0)
+
+        step = jax.jit(lambda t, dt, u: timestepping.rk_step(f, t, dt, u)
+                       .at[bidx].set(gvals(t + dt)))
+
+        u = self.interpolate_exact(pp.start_t)
+        err = self.postprocess(pp.start_t, u)
+        time = timestepping.DiscreteTime(pp.start_t, pp.end_t, delta_t)
+        while (not time.is_at_end()) and err[2] < 1.0:
+            t, dt = time.get_current_time(), time.get_next_step_size()
+            u = step(t, dt, u)
+            err = self.postprocess(t + dt, u)
+            time.advance_time()
+        self.u = u
+        return self.rows
+
     def _run_single(self, delta_t):
         pp = self.params
+        if pp.strong_bc:
+            return self._run_single_strong(delta_t)
         adv = self.adv_in
         msolve = self._mass_solver(self.op_in)
 
@@ -293,6 +366,9 @@ class AdvectionProblem:
         jax-traceable.  Populates and returns ``self.rows``.
         """
         pp = self.params
+        if pp.strong_bc:
+            raise NotImplementedError(
+                "strong_bc runs use run() (host-driven loop)")
         delta_t = self.dx * pp.cfl / pp.max_val
         time = timestepping.DiscreteTime(pp.start_t, pp.end_t, delta_t)
         ts, dts = [], []

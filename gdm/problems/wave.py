@@ -513,6 +513,175 @@ class WaveProblem:
             time.advance_time()
         return y
 
+    # -- device-resident trajectories ----------------------------------
+    def _schedule(self):
+        """The reference DiscreteTime step sequence, precomputed on host
+        (fixed desired step; the final step is shortened to land on
+        end_t — problem.h:76-77 + dealii::DiscreteTime semantics)."""
+        pp = self.params
+        delta_t = pp.cfl * self.dx ** pp.cfl_pow
+        time = timestepping.DiscreteTime(pp.start_t, pp.end_t, delta_t)
+        ts, dts = [], []
+        while not time.is_at_end():
+            ts.append(time.get_current_time())
+            dts.append(time.get_next_step_size())
+            time.advance_time()
+        return jnp.asarray(ts), jnp.asarray(dts)
+
+    def run_scan(self, chunk: int = 128):
+        """Whole-horizon time loop as chunked jitted ``lax.scan`` device
+        programs — the device-resident counterpart of :meth:`run`.
+
+        Covers every time-dependent simulation type (reference loops:
+        heat-rk problem.h:72-128, heat-impl problem.h:210-279, wave-rk
+        problem.h:280-346, composites problem.h:129-209/347-435); the RK
+        stages, mass/implicit CG solves (``lax.while_loop``), and the
+        per-step L2/L1/Linf error rows all run on device, so e.g. the
+        821-step heat_1 trajectory costs ~7 dispatches instead of ~1650
+        host round-trips.  "poisson" delegates to :meth:`run` (already a
+        single solve).  Per-step VTU output needs the host in the loop —
+        use :meth:`run` for that.  Populates and returns ``self.rows``
+        in exactly the :meth:`postprocess` format.
+        """
+        pp = self.params
+        st = pp.simulation_type
+        if st == "poisson":
+            self.run()
+            return self.rows
+        if pp.output_vtu_dir is not None:
+            raise ValueError("per-step VTU output requires run()")
+        ts, dts = self._schedule()
+        chunk = max(1, min(chunk, len(ts)))
+
+        def errs(u, t, op):
+            l2, l1, li = op.error_norms(u, pp.exact_solution, t)
+            return jnp.stack([l2, l1, li])
+
+        if st == "heat-impl":
+            op = self.op_in
+            ga, gn = pp.ghost_parameter_A, pp.nitsche_parameter
+            gm = pp.ghost_parameter_M
+            with_nitsche = pp.function_interface_dbc is not None
+            mdiag = jnp.asarray(op.mass_diagonal(gm))
+            sdiag = jnp.asarray(self._stiffness_diag()
+                                - (1.0 * op.inactive))
+
+            def system_apply(v, dt):
+                return op.mass_apply(v, gm) + dt * (
+                    op.stiffness_matrix_apply(v, ga, gn, with_nitsche)
+                    - jnp.where(jnp.asarray(op.inactive), v, 0.0))
+
+            def body(u, tdt):
+                t, dt = tdt
+                b = op.compute_rhs(
+                    u, t + dt, False, rhs_fn=pp.function_rhs,
+                    interface_dbc=pp.function_interface_dbc,
+                    domain_dbc=pp.function_domain_dbc, nitsche_gamma=gn)
+                b = dt * b + op.mass_apply(u, gm)
+                pre = solvers.jacobi_preconditioner(mdiag + dt * sdiag)
+                u, _ = solvers.cg(
+                    lambda v: system_apply(v, dt), b, precond=pre,
+                    max_iter=pp.solver_max_iterations,
+                    abs_tol=pp.solver_abs_tolerance,
+                    rel_tol=pp.solver_rel_tolerance)
+                return u, errs(u, t + dt, op)[None]
+
+            carry0 = self.interpolate_exact(pp.start_t)
+            n_slots = 1
+            e0 = lambda y: errs(y, pp.start_t, op)[None]  # noqa: E731
+            keep = lambda y: y  # noqa: E731
+        elif not pp.composite:
+            heat = st == "heat-rk"
+            op = self.op_in
+            msolve = self._mass_solver(op)
+            rhs = self._rhs_fn(op)
+            if heat:
+                def f(t, u):
+                    return msolve(rhs(u, t))
+                carry0 = self.interpolate_exact(pp.start_t)
+                extract = lambda y: y  # noqa: E731
+            else:
+                def f(t, y):
+                    u, v = y
+                    return (v, msolve(rhs(u, t)))
+                carry0 = (self.interpolate_exact(pp.start_t),
+                          jnp.zeros(self.grid.n_nodes))
+                extract = lambda y: y[0]  # noqa: E731
+
+            def body(y, tdt):
+                t, dt = tdt
+                y = timestepping.rk_step(f, t, dt, y)
+                return y, errs(extract(y), t + dt, op)[None]
+
+            n_slots = 1
+            e0 = lambda y: errs(extract(y), pp.start_t, op)[None]  # noqa: E731
+            keep = extract
+        else:
+            heat = st == "heat-rk"
+            ops = (self.op_in, self.op_out)
+            solves = (self._mass_solver(ops[0]), self._mass_solver(ops[1]))
+            rhss = (self._rhs_fn(ops[0]), self._rhs_fn(ops[1]))
+            tau = 0.5 * pp.nitsche_parameter
+            couple = pp.function_interface_dbc is None
+
+            def coupled_rhs(u0, u1, t):
+                r0 = rhss[0](u0, t)
+                r1 = rhss[1](u1, t)
+                if couple:
+                    r0, r1 = _interface_coupling(
+                        self.op_in, r0, r1, u0, u1, tau)
+                return r0, r1
+
+            if heat:
+                def f(t, y):
+                    u0, u1 = y
+                    r0, r1 = coupled_rhs(u0, u1, t)
+                    return (solves[0](r0), solves[1](r1))
+                carry0 = (self.interpolate_exact(pp.start_t),
+                          self.interpolate_exact(pp.start_t))
+            else:
+                def f(t, y):
+                    u0, u1, v0, v1 = y
+                    r0, r1 = coupled_rhs(u0, u1, t)
+                    return (v0, v1, solves[0](r0), solves[1](r1))
+                z = jnp.zeros(self.grid.n_nodes)
+                carry0 = (self.interpolate_exact(pp.start_t),
+                          self.interpolate_exact(pp.start_t), z, z)
+
+            def body(y, tdt):
+                t, dt = tdt
+                y = timestepping.rk_step(f, t, dt, y)
+                return y, jnp.stack([errs(y[0], t + dt, ops[0]),
+                                     errs(y[1], t + dt, ops[1])])
+
+            n_slots = 2
+            e0 = lambda y: jnp.stack(  # noqa: E731
+                [errs(y[0], pp.start_t, ops[0]),
+                 errs(y[1], pp.start_t, ops[1])])
+            keep = lambda y: y[:2]  # noqa: E731
+
+        @jax.jit
+        def traj_chunk(y, tc, dc):
+            y, es = jax.lax.scan(body, y, (tc, dc))
+            return es, y
+
+        y = carry0
+        parts = [np.asarray(jax.jit(e0)(y))[None]]
+        for s in range(0, len(ts), chunk):
+            es, y = traj_chunk(y, ts[s : s + chunk], dts[s : s + chunk])
+            parts.append(np.asarray(es))
+        self.final_solution = keep(y)
+        es = np.concatenate(parts)
+        for step in range(es.shape[0]):
+            t = float(pp.start_t if step == 0 else ts[step - 1]
+                      + dts[step - 1])
+            for slot in range(n_slots):
+                row = (step, t) + tuple(float(x) for x in es[step, slot])
+                self.rows[slot].append(row)
+                if self.verbose:
+                    print("%5d %8.5f %14.8e %14.8e %14.8e" % row)
+        return self.rows
+
 
 def _write_step_vtu(problem: "WaveProblem", sol, t, path: str,
                     location=INSIDE):

@@ -70,6 +70,40 @@ def test_wave0_rows_shard_invariant():
         rtol=1e-12, atol=1e-14)
 
 
+def test_advection_rows_shard_invariant():
+    """Cut advection (upwind embedded flux, BC-as-ODE) with the mass
+    solves domain-decomposed over 8 devices reproduces the single-device
+    6-column error rows (reference: the advection apps run under the
+    same MPI machinery, advection/discretization.h:104-107)."""
+    from gdm.problems.advection import AdvectionProblem, convergence_case
+
+    params = convergence_case(3, 12, 0.4, 0.0, 5.0)
+    params.end_t = 4 * (1.0 / 12) * 0.4 / 2.0  # 4 steps
+    rows0 = AdvectionProblem(params).run()
+    rows1 = AdvectionProblem(params, mesh=device_mesh(8)).run()
+    assert len(rows1[0]) == len(rows0[0]) > 3
+    for r0, r1 in zip(rows0[0], rows1[0]):
+        assert r0[:2] == r1[:2]
+        np.testing.assert_allclose(r1[2:], r0[2:], rtol=1e-10, atol=1e-16)
+
+
+def test_advection_composite_scan_shard_invariant():
+    """Composite advection through run_scan with sharded mass solves."""
+    from gdm.problems.advection import AdvectionProblem, composite_app_case
+
+    params = composite_app_case()
+    params.n_subdivisions_1D = 12
+    params.fe_degree = 3
+    params.end_t = 3 * (2.0 / 12) * 0.2 / 4.0  # 3 steps
+    rows0 = AdvectionProblem(params).run_scan()
+    rows1 = AdvectionProblem(params, mesh=device_mesh(4)).run_scan()
+    for slot in (0, 1):
+        assert len(rows1[slot]) == len(rows0[slot]) > 2
+        for r0, r1 in zip(rows0[slot], rows1[slot]):
+            np.testing.assert_allclose(r1[2:], r0[2:], rtol=1e-10,
+                                       atol=1e-16)
+
+
 def test_heat_composite_rows_shard_invariant():
     """Composite two-domain explicit heat with interface coupling, 2D,
     sharded over 4 devices."""

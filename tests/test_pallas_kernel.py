@@ -90,6 +90,37 @@ def test_hybrid_matches_xla_operator(p, cells, tr, vr):
     assert np.max(np.abs(y2[mask])) == 0.0
 
 
+@pytest.mark.parametrize("p,cells,tile_r", [
+    (3, (40, 72), 64),    # single tile at this size
+    (3, (300, 140), 64),  # 5 tiles: exercises the cross-tile pipeline
+    (5, (48, 40), 64),
+    (7, (32, 33), 64),
+    (3, (130, 250), 48),  # 3 tiles, ragged last tile
+])
+def test_mxucol_matches_xla_operator(p, cells, tile_r):
+    from gdm.ops.pallas_stencil2 import make_padded_laplace2_mxucol
+
+    grid = Grid(p, cells, (0.0, 0.0), (1.0, 2.0))
+    f = laplace_apply_fn(grid, dtype=jnp.float64)
+    rng = np.random.default_rng(8)
+    u = rng.standard_normal(grid.nodes)
+    y_ref = np.asarray(f(jnp.asarray(u)))
+    ap, pad, unpad, shape = make_padded_laplace2_mxucol(
+        grid, jnp.float64, tile_r=tile_r, interpret=True)
+    y = np.asarray(unpad(ap(pad(jnp.asarray(u)))))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-12, atol=2e-12)
+    # padded-layout closure: everything outside the data block stays 0
+    y2 = np.asarray(ap(ap(pad(jnp.asarray(u)))))
+    N0, N1 = grid.nodes
+    H = _round_up(p, 8)
+    mask = np.ones(shape, bool)
+    mask[H : H + N0, 128 + p : 128 + p + N1] = False
+    assert np.max(np.abs(y2[mask])) == 0.0
+    y2_ref = np.asarray(f(f(jnp.asarray(u))))
+    np.testing.assert_allclose(y2[H : H + N0, 128 + p : 128 + p + N1],
+                               y2_ref, rtol=2e-11, atol=2e-10)
+
+
 def test_padded_layout_closed_under_apply():
     """Guard rows / pad lanes stay zero, so CG can chain applies."""
     p = 3

@@ -70,16 +70,20 @@ SELF_PINS = {
 }
 
 
+@pytest.mark.parametrize("runner", ["run", "run_scan"])
 @pytest.mark.parametrize(
     "output,preset,dim,n_slots,rtol_l2,rtol_linf",
     CASES,
     ids=[c[0].split(".")[0] for c in CASES],
 )
-def test_wave_app_golden(output, preset, dim, n_slots, rtol_l2, rtol_linf):
+def test_wave_app_golden(output, preset, dim, n_slots, rtol_l2, rtol_linf,
+                         runner):
+    if runner == "run_scan" and preset == "step85":
+        pytest.skip("poisson run_scan delegates to run()")
     golden = parse_rows(f"{REF}/{output}", n_slots)
     params = make_preset(preset, dim)
     prob = WaveProblem(params, verbose=False)
-    prob.run()
+    getattr(prob, runner)()
     for slot in range(n_slots):
         grows = golden[slot]
         mrows = prob.rows[slot]
