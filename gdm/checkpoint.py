@@ -2,7 +2,9 @@
 
 The reference has no persistence beyond VTU dumps (SURVEY §5); solver
 state here is a pytree of arrays plus the scalar time, so checkpointing
-is a single npz file.  Used by the app drivers for long runs.
+is a single npz file.  Wired into AdvectionProblem.run_scan
+(checkpoint_path=) and the long composite-DoD production run
+(scripts/run_composite_dod.py), which resumes mid-horizon after a kill.
 """
 
 from __future__ import annotations

@@ -1,0 +1,275 @@
+"""Mesh-independent multilevel preconditioning for CUT systems.
+
+The reference CG-solves its cut mass and cut stiffness matrices with
+black-box Trilinos AMG/ILU (applications/wave/include/gdm/wave/
+problem.h:457-502: step85 Poisson problem.h:46-71, implicit heat
+(M + dt*S) problem.h:210-279; "[L] solved in 2" in wave_0.output).  The
+repo's uncut geometric MG (gdm/multigrid.py) does not apply to cut
+operators; point-Jacobi CG on them needs O(n) iterations.
+
+Design (measured on dense spectra, see tests/test_cut_multigrid.py):
+
+* **Galerkin hierarchy**: A_{k+1} = P^T A_k P with P the UNCUT degree-p
+  GD interpolation (gdm/multigrid.py gd_prolong_axis = P on device; the
+  same stencils assembled as a host sparse matrix here).  Galerkin is
+  load-bearing: with REDISCRETIZED coarse cut operators the coarse
+  solve amplifies the coarse level's own sliver modes by 1/lambda ~ 1e8
+  (measured lambda_max(BA) ~ 1.7e7); with Galerkin operators the coarse
+  correction is an A-orthogonal projection and lambda_max stays O(1).
+  The Galerkin coarse matrices are well-conditioned (min eig 0.085 vs
+  the fine operator's 5e-8 at 40^2) because prolongated coarse
+  functions are smooth — slivers don't survive P^T A P.
+* **Symmetric V-cycle** with per-level damped Richardson smoothing
+  u += omega_k * S_k (b - A_k u), where S_k = cut-window Schwarz +
+  point Jacobi of A_k and omega_k = 1/(1.15 * lambda_max(S_k A_k))
+  (host power iteration at setup).  The safety-damped omega makes the
+  smoother unconditionally convergent — a FIXED omega cannot work here
+  (lambda_max(S A) varies per level and the operator's diagonal spans
+  ~1e-7..13), and a purely ADDITIVE (BPX) composition was measured to
+  lose mesh-independence beyond two levels (38/60/63 iterations at
+  40/80/160).  The smoother's job is only the top of the spectrum; the
+  Galerkin coarse projection handles the coarse-representable rest
+  (the near-kernel modes are 99.9%% coarse-representable, measured).
+* **Cut-window Schwarz per level**: exact dense solves of
+  A_k[win, win] over each level's intersected-cell windows (windows
+  from the level's own cell classification — no coarse quadrature
+  needed), point Jacobi elsewhere.  The sliver modes plain Jacobi
+  cannot damp are local to these windows.
+* coarsest level: dense direct inverse (Galerkin, SPD, nonsingular —
+  inactive dofs carry the prolongated fine identity rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..grid import Grid
+from ..multigrid import _gd_mid_table, gd_prolong_axis, gd_restrict_axis
+from .geometry import INTERSECTED, classify_cells
+from .levelset import LevelSetInterpolant
+from .stencil import StencilOperator, assemble_stencil
+from .tables import windows_c_order
+
+
+def _band_to_sparse(st: StencilOperator):
+    """Stencil-band operator -> scipy CSR (host)."""
+    import scipy.sparse as sp
+
+    grid = st.grid
+    dim = grid.dim
+    K = 2 * st.radius + 1
+    N = grid.n_nodes
+    band = np.asarray(st.band_host).reshape(N, -1)
+    coords = np.stack(np.unravel_index(np.arange(N), grid.nodes), -1)
+    strides = np.ones(dim, np.int64)
+    for d in range(dim - 2, -1, -1):
+        strides[d] = strides[d + 1] * grid.nodes[d + 1]
+    rows, cols, vals = [], [], []
+    for flat_off in range(band.shape[1]):
+        rem = flat_off
+        off = np.zeros(dim, np.int64)
+        for d in range(dim - 1, -1, -1):
+            off[d] = rem % K - st.radius
+            rem //= K
+        v = band[:, flat_off]
+        nz = v != 0.0
+        if not nz.any():
+            continue
+        tgt = coords[nz] + off
+        ok = np.all((tgt >= 0) & (tgt < np.asarray(grid.nodes)), axis=1)
+        r = np.where(nz)[0][ok]
+        rows.append(r)
+        cols.append((tgt[ok] * strides).sum(axis=1))
+        vals.append(v[r])
+    return sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(N, N))
+
+
+def _prolong_sparse(fine: Grid, coarse: Grid):
+    """Host sparse P (n_fine, n_coarse) matching the device transfers
+    (gd_prolong_axis with the coarse grid's mid tables), as a kron of
+    per-axis 1D prolongations."""
+    import scipy.sparse as sp
+
+    P = None
+    for d in range(fine.dim):
+        tab, off = _gd_mid_table(coarse, d)
+        nc = coarse.nodes[d]
+        nf = fine.nodes[d]
+        p1 = tab.shape[1]
+        rows = list(2 * np.arange(nc))
+        cols = list(np.arange(nc))
+        vals = [1.0] * nc
+        for c in range(coarse.cells[d]):
+            for j in range(p1):
+                rows.append(2 * c + 1)
+                cols.append(off[c] + j)
+                vals.append(tab[c, j])
+        P1 = sp.csr_matrix((vals, (rows, cols)), shape=(nf, nc))
+        P = P1 if P is None else sp.kron(P, P1, format="csr")
+    return P
+
+
+def _cut_windows(grid: Grid, level_set_function, level_set_degree):
+    """Intersected-cell dof windows from the level's own classification
+    (geometry only — no quadrature)."""
+    ls = LevelSetInterpolant(grid, level_set_function, level_set_degree)
+    locations = classify_cells(ls)
+    loc_flat = np.transpose(
+        locations, list(range(grid.dim - 1, -1, -1))).reshape(-1)
+    cut_ids = np.where(loc_flat == INTERSECTED)[0].astype(np.int64)
+    if not len(cut_ids):
+        return np.zeros((0, (grid.degree + 1) ** grid.dim), np.int64)
+    return windows_c_order(grid, cut_ids)
+
+
+def _sparse_to_band(A, grid: Grid) -> StencilOperator:
+    """Host CSR (structured-stencil sparsity) -> StencilOperator."""
+    Ac = A.tocoo()
+    coords_r = np.stack(np.unravel_index(Ac.row, grid.nodes), -1)
+    coords_c = np.stack(np.unravel_index(Ac.col, grid.nodes), -1)
+    delta = coords_c - coords_r
+    radius = int(np.abs(delta).max()) if len(delta) else 1
+    K = 2 * radius + 1
+    band = np.zeros((grid.n_nodes, K**grid.dim))
+    off = np.zeros(len(delta), np.int64)
+    for d in range(grid.dim):
+        off = off * K + (delta[:, d] + radius)
+    np.add.at(band, (Ac.row, off), Ac.data)
+    return StencilOperator(grid, band.reshape(grid.nodes + (K,) * grid.dim),
+                           radius)
+
+
+class CutMultigrid:
+    """Symmetric V-cycle preconditioner for an assembled cut operator
+    (StencilOperator).  SPD; use as CG preconditioner via
+    :meth:`precondition`."""
+
+    def __init__(self, st: StencilOperator, level_set_function,
+                 level_set_degree: int = None, coarsest: int = 16,
+                 n_smooth: int = 2):
+        grid = st.grid
+        deg = (level_set_degree if level_set_degree is not None
+               else grid.degree)
+        self.n_smooth = n_smooth
+        A = _band_to_sparse(st)
+        self.levels = []
+        g = grid
+        first = True
+        while True:
+            win = _cut_windows(g, level_set_function, deg)
+            diag = A.diagonal()
+            covered = np.zeros(g.n_nodes, bool)
+            lvl = {"grid": g,
+                   "apply": (st if first else _sparse_to_band(A, g)).apply}
+            first = False
+            inv_h = None
+            if win.size:
+                covered[win.reshape(-1)] = True
+                Ad = A.toarray() if g.n_nodes <= 4096 else None
+                blocks = np.empty((len(win), win.shape[1], win.shape[1]))
+                for i, w in enumerate(win):
+                    sub = (Ad[np.ix_(w, w)] if Ad is not None
+                           else A[w][:, w].toarray())
+                    blocks[i] = sub
+                inv_h = np.linalg.inv(blocks)
+                lvl["win"] = jnp.asarray(win)
+                lvl["inv"] = jnp.asarray(inv_h)
+            safe = np.where(diag <= 0.0, 1.0, diag)
+            jac_h = np.where(covered, 0.0, 1.0 / safe)
+            lvl["jac"] = jnp.asarray(jac_h)
+            # safe Richardson damping: omega = 1/(1.15 lambda_max(S A)),
+            # lambda_max by host power iteration on the sparse matrix
+            rng = np.random.default_rng(0)
+            v = rng.standard_normal(g.n_nodes)
+            lam = 1.0
+            for _ in range(30):
+                w_ = A @ v
+                z = jac_h * w_
+                if inv_h is not None:
+                    zl = np.einsum("nij,nj->ni", inv_h, w_[win])
+                    np.add.at(z, win.reshape(-1), zl.reshape(-1))
+                lam = np.linalg.norm(z)
+                v = z / lam
+            lvl["omega"] = 1.0 / (1.15 * lam)
+            self.levels.append(lvl)
+            if min(g.cells) // 2 < coarsest or any(c % 2 for c in g.cells):
+                break
+            gc = Grid(g.degree, tuple(c // 2 for c in g.cells), g.lower,
+                      g.upper, 1)
+            P = _prolong_sparse(g, gc)
+            A = (P.T @ (A @ P)).tocsr()
+            lvl["mid"] = [_gd_mid_table(gc, d) for d in range(g.dim)]
+            g = gc
+        if len(self.levels) == 1:
+            raise ValueError(
+                "CutMultigrid: grid %s cannot be coarsened; use even cell "
+                "counts >= %d" % (grid.cells, 2 * coarsest))
+        self.coarse_inv = jnp.asarray(np.linalg.inv(A.toarray()))
+
+    def _schwarz(self, lvl, r):
+        z = lvl["jac"] * r
+        if "win" in lvl:
+            zl = jnp.einsum("nij,nj->ni", lvl["inv"], r[lvl["win"]])
+            z = z.at[lvl["win"].reshape(-1)].add(zl.reshape(-1))
+        return z
+
+    def _smooth(self, lvl, u, b):
+        for _ in range(self.n_smooth):
+            u = u + lvl["omega"] * self._schwarz(lvl, b - lvl["apply"](u))
+        return u
+
+    def _vcycle(self, k, b):
+        lvl = self.levels[k]
+        if k == len(self.levels) - 1:
+            return jnp.matmul(self.coarse_inv, b,
+                              precision=jax.lax.Precision.HIGHEST)
+        u = self._smooth(lvl, jnp.zeros_like(b), b)
+        r = (b - lvl["apply"](u)).reshape(lvl["grid"].nodes)
+        for d in range(lvl["grid"].dim):
+            tab, off = lvl["mid"][d]
+            r = gd_restrict_axis(r, d, tab, off)
+        ec = self._vcycle(k + 1, r.reshape(-1))
+        e = ec.reshape(self.levels[k + 1]["grid"].nodes)
+        for d in range(lvl["grid"].dim):
+            tab, off = lvl["mid"][d]
+            e = gd_prolong_axis(e, d, tab, off, lvl["grid"].nodes[d])
+        return self._smooth(lvl, u + e.reshape(-1), b)
+
+    def precondition(self, r):
+        """r: flat (n_nodes,) residual."""
+        return self._vcycle(0, r)
+
+
+def cut_poisson_multigrid(op, gamma_A: float, nitsche_gamma: float,
+                          level_set_function, level_set_degree=None,
+                          with_nitsche: bool = True,
+                          with_bdry_nitsche: bool = False,
+                          **kw) -> CutMultigrid:
+    """BPX preconditioner for the cut stiffness system (step85 / wave
+    spatial operator; reference AMG role problem.h:461-469).
+    op: CutOperators of the fine level."""
+    st = assemble_stencil(op, "stiff", gamma_A, nitsche_gamma,
+                          with_nitsche=with_nitsche,
+                          with_bdry_nitsche=with_bdry_nitsche)
+    return CutMultigrid(st, level_set_function,
+                        level_set_degree=level_set_degree, **kw)
+
+
+def cut_heat_impl_multigrid(op, dt: float, gamma_M: float, gamma_A: float,
+                            nitsche_gamma: float, level_set_function,
+                            level_set_degree=None,
+                            with_nitsche: bool = True,
+                            **kw) -> CutMultigrid:
+    """BPX preconditioner for the implicit-Euler system M + dt*S
+    (reference problem.h:210-279)."""
+    m = assemble_stencil(op, "mass", gamma_M)
+    s = assemble_stencil(op, "stiff", gamma_A, nitsche_gamma,
+                         with_nitsche=with_nitsche,
+                         inactive_identity=False)
+    st = StencilOperator(op.grid, m.band_host + dt * s.band_host, m.radius)
+    return CutMultigrid(st, level_set_function,
+                        level_set_degree=level_set_degree, **kw)

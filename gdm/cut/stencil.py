@@ -30,7 +30,9 @@ class StencilOperator:
     def __init__(self, grid: Grid, band: np.ndarray, radius: int):
         self.grid = grid
         self.radius = radius
-        self.band_host = band  # np f64, nodes + (2r+1,)*dim
+        # private copy: a caller-side mutation of the input array must
+        # not desync the host band from the cached device copy
+        self.band_host = np.array(band)  # np f64, nodes + (2r+1,)*dim
         self._band = None
 
     @property
@@ -38,7 +40,11 @@ class StencilOperator:
         if self._band is None:
             b = jnp.asarray(self.band_host)
             if isinstance(b, jax.core.Tracer):
-                return b  # first touch under a trace: don't cache tracers
+                # first touch under an active jit trace: jnp.asarray
+                # yields a trace-local constant tracer — caching it
+                # would leak it into later traces (advisor round 2
+                # called this branch dead; it is not)
+                return b
             self._band = b
         return self._band
 
@@ -178,7 +184,8 @@ def _local_blocks(band_flat, windows, grid, radius):
     return loc
 
 
-def schwarz_jacobi_preconditioner(st: StencilOperator, windows):
+def schwarz_jacobi_preconditioner(st: StencilOperator, windows,
+                                  overlap_weighted: bool = False):
     """Additive Schwarz over the given dof windows + point Jacobi on the
     remaining dofs — the TPU-native counterpart of the reference's ILU
     for the badly cut mass systems (parameters.h:32 'ILU';
@@ -193,6 +200,15 @@ def schwarz_jacobi_preconditioner(st: StencilOperator, windows):
     as gather -> einsum -> scatter-add) restore CG convergence.  Plain
     (unweighted) additive Schwarz keeps the preconditioner symmetric
     positive definite, as CG requires.
+
+    overlap_weighted: symmetric overlap scaling B = C^{-1/2} M C^{-1/2}
+    with M the plain additive-Schwarz sum and C = diag(#windows
+    covering each dof).  Plain additive Schwarz over the heavily
+    overlapping cut windows has rho(BA) ~ overlap count (~(p+1)^dim),
+    fine inside CG (which rescales step lengths) but DIVERGENT as a
+    damped-Richardson smoother; the symmetric weighting brings
+    rho(BA) to O(1) so multigrid smoothing works (gdm/cut/multigrid.py).
+    Still SPD: each weighted term is a congruence of an SPD block.
     """
     grid = st.grid
     dim = grid.dim
@@ -227,6 +243,22 @@ def schwarz_jacobi_preconditioner(st: StencilOperator, windows):
 
     if not windows.size:
         return lambda r: jac_d * r
+
+    if overlap_weighted:
+        counts = np.zeros(grid.n_nodes)
+        np.add.at(counts, windows.reshape(-1), 1.0)
+        w_half = jnp.asarray(np.where(counts > 0, 1.0 / np.sqrt(counts),
+                                      0.0))
+
+        def precondition(r):
+            z = jac_d * r
+            rs = w_half * r
+            zl = jnp.einsum("nij,nj->ni", inv_d, rs[win_d])
+            z2 = jnp.zeros_like(r).at[win_d.reshape(-1)].add(
+                zl.reshape(-1))
+            return z + w_half * z2
+
+        return precondition
 
     def precondition(r):
         z = jac_d * r

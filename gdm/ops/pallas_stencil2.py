@@ -1281,7 +1281,8 @@ def make_padded_laplace2_hybrid(grid: Grid, dtype=jnp.float32,
 
 def make_padded_laplace3_mxu(grid: Grid, dtype=jnp.float32,
                              tile_planes1: int = None,
-                             interpret: bool = False, chunk: int = 1024):
+                             interpret: bool = False, chunk: int = 1024,
+                             pipelined: bool = False):
     """Fused 3D GD Laplace with the plane-coupling stage on the MXU.
 
     Same operator as make_padded_laplace3 (y = S0⊗M1⊗M2 + M0⊗S1⊗M2 +
@@ -1320,8 +1321,10 @@ def make_padded_laplace3_mxu(grid: Grid, dtype=jnp.float32,
     R = N1 * N2p
 
     if tile_planes1 is None:
-        # budget ~110 MB VMEM across bufs/A/B/PT/ytile (~56 B per row)
-        max_rows = int(90e6 / ((2 + 2 + 2 + 2) * W0 * 4 + 2 * 2 * W0 * 2))
+        # budget ~110 MB VMEM across bufs/A/B/PT/ytile (~56 B per row;
+        # the pipelined variant double-buffers PT)
+        pt_b = (4 if pipelined else 2) * 2 * W0 * 2
+        max_rows = int(90e6 / ((2 + 2 + 2 + 2) * W0 * 4 + pt_b))
         tile_planes1 = max(1, min(N1, (max_rows - 2 * Hg) // N2p))
     n_tiles = -(-N1 // tile_planes1)
     tile_planes1 = -(-N1 // n_tiles)
@@ -1489,8 +1492,142 @@ def make_padded_laplace3_mxu(grid: Grid, dtype=jnp.float32,
             if n_tiles > 1:
                 out_copy(i - 1, (i - 1) % 2).wait()
 
+    def kernel_p(u_hbm, c1s_ref, c1m_ref, c2s_ref, c2m_ref, chi_ref,
+                 clo_ref, y_hbm, bufs, ytile, zrows, Abuf, Bbuf, pthi,
+                 ptlo, sem_in, sem_out, sem_z):
+        # Cross-tile software-pipelined variant: step i ISSUES the
+        # stage-3 matmuls for tile i-1 (operands staged at step i-1,
+        # PT double-buffered) BEFORE running tile i's VPU stages 1-2,
+        # so the MXU drains under the slice-FMA sweeps (the mxu3p
+        # scheduling pattern).
+        i = pl.program_id(0)
+
+        def in_copy(t, slot):
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(pl.multiple_of(t * tile_r, 8), T_ext), :],
+                bufs.at[slot], sem_in.at[slot])
+
+        def out_copy(t, slot):
+            return pltpu.make_async_copy(
+                ytile.at[slot],
+                y_hbm.at[pl.ds(pl.multiple_of(Hg + t * tile_r, 8),
+                               tile_r), :],
+                sem_out.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+            if n_tiles > 1:
+                in_copy(1, 1).start()
+            zrows[...] = jnp.zeros((Hg, W0), dtype)
+            for lo in (0, Hg + Rp):
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), Hg), :],
+                    sem_z).start()
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), Hg), :],
+                    sem_z).wait()
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            in_copy(i + 1, (i + 1) % 2).start()
+
+        slot = i % NB
+        prev = (i - 1) % NB
+        in_copy(i, slot).wait()
+
+        def staged(lo, total, body, cs=CS):
+            n_full = total // cs
+            if n_full:
+                jax.lax.fori_loop(
+                    0, n_full,
+                    lambda c, x: (body(lo + c * cs, cs), x)[1], 0)
+            if total % cs:
+                body(lo + n_full * cs, total % cs)
+
+        dn = (((1,), (0,)), ((), ()))
+
+        def stage3_into(pslot, yslot):
+            def stage3(s, ln):
+                hi = pthi[pslot, pl.ds(s, ln), :]
+                lo = ptlo[pslot, pl.ds(s, ln), :]
+                acc = jax.lax.dot_general(
+                    hi, chi_ref[:], dimension_numbers=dn,
+                    preferred_element_type=dtype)
+                acc = acc + jax.lax.dot_general(
+                    hi, clo_ref[:], dimension_numbers=dn,
+                    preferred_element_type=dtype)
+                acc = acc + jax.lax.dot_general(
+                    lo, chi_ref[:], dimension_numbers=dn,
+                    preferred_element_type=dtype)
+                ytile[yslot, pl.ds(s, ln), :] = acc
+
+            staged(0, tile_r, stage3)
+
+        # (a) tile i-1's stage-3 matmuls (operands ready) + its output
+        @pl.when(i > 0)
+        def _():
+            @pl.when(i >= 3)
+            def _():
+                out_copy(i - 3, prev).wait()
+
+            stage3_into(prev, prev)
+            out_copy(i - 1, prev).start()
+
+        # (b) tile i's stages 1-2 (VPU) — dependency-free of (a)'s dots
+        def stage1(s, ln):
+            uw = bufs[slot, pl.ds(s - pa, ln + 2 * pa), :]
+            cs_ = c2s_ref[pl.ds(s, ln), :]
+            cm_ = c2m_ref[pl.ds(s, ln), :]
+            a = jnp.zeros((ln, W0), dtype)
+            b = jnp.zeros((ln, W0), dtype)
+            for k in range(K):
+                off = pa + k - p
+                u_ = uw[off : off + ln, :]
+                a = a + cm_[:, k : k + 1] * u_
+                b = b + cs_[:, k : k + 1] * u_
+            Abuf[pl.ds(s, ln), :] = a
+            Bbuf[pl.ds(s, ln), :] = b
+
+        staged(pa, T_ext - 2 * pa, stage1)
+
+        def stage2(s, ln):
+            cs_ = c1s_ref[pl.ds(s, ln), :]
+            cm_ = c1m_ref[pl.ds(s, ln), :]
+            P = jnp.zeros((ln, W0), dtype)
+            T = jnp.zeros((ln, W0), dtype)
+            for k in range(K):
+                off = Hg + (k - p) * N2p
+                a = Abuf[pl.ds(s + off, ln), :]
+                b = Bbuf[pl.ds(s + off, ln), :]
+                P = P + cm_[:, k : k + 1] * a
+                T = T + cs_[:, k : k + 1] * a + cm_[:, k : k + 1] * b
+            Phi = P.astype(split_dt)
+            Thi = T.astype(split_dt)
+            pthi[slot, pl.ds(s, ln), 0:W0] = Phi
+            pthi[slot, pl.ds(s, ln), W0 : 2 * W0] = Thi
+            ptlo[slot, pl.ds(s, ln), 0:W0] = (
+                P - Phi.astype(dtype)).astype(split_dt)
+            ptlo[slot, pl.ds(s, ln), W0 : 2 * W0] = (
+                T - Thi.astype(dtype)).astype(split_dt)
+
+        staged(0, tile_r, stage2)
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            @pl.when(i >= 2)
+            def _():
+                out_copy(i - 2, slot).wait()
+
+            stage3_into(slot, slot)
+            out_copy(i, slot).start()
+            out_copy(i, slot).wait()
+            if n_tiles > 1:
+                out_copy(i - 1, prev).wait()
+
+    npt = NB if pipelined else 1
     call = pl.pallas_call(
-        kernel,
+        kernel_p if pipelined else kernel,
         out_shape=jax.ShapeDtypeStruct((R_ext, W0), dtype),
         grid=(n_tiles,),
         in_specs=[
@@ -1509,8 +1646,11 @@ def make_padded_laplace3_mxu(grid: Grid, dtype=jnp.float32,
             pltpu.VMEM((Hg, W0), dtype),
             pltpu.VMEM((T_ext, W0), dtype),
             pltpu.VMEM((T_ext, W0), dtype),
-            pltpu.VMEM((tile_r, 2 * W0), split_dt),
-            pltpu.VMEM((tile_r, 2 * W0), split_dt),
+        ] + ([pltpu.VMEM((npt, tile_r, 2 * W0), split_dt),
+              pltpu.VMEM((npt, tile_r, 2 * W0), split_dt)]
+             if pipelined else
+             [pltpu.VMEM((tile_r, 2 * W0), split_dt),
+              pltpu.VMEM((tile_r, 2 * W0), split_dt)]) + [
             pltpu.SemaphoreType.DMA((NB,)),
             pltpu.SemaphoreType.DMA((NB,)),
             pltpu.SemaphoreType.DMA,
@@ -1785,6 +1925,282 @@ def make_padded_laplace2_mxucol(grid: Grid, dtype=jnp.float32,
 
     def apply_padded(u_pad):
         return call(u_pad, b0s, b0m, Chi, Clo)
+
+    def pad(u):
+        out = jnp.zeros((R_ext, W2e), dtype)
+        return jax.lax.dynamic_update_slice(
+            out, u.astype(dtype), (H, 128 + p))
+
+    def unpad(u_pad):
+        return u_pad[H : H + N0, 128 + p : 128 + p + N1]
+
+    return apply_padded, pad, unpad, (R_ext, W2e)
+
+
+def make_padded_laplace2_hybp(grid: Grid, dtype=jnp.float32,
+                              tile_r: int = 256, vpu_rows: int = None,
+                              interpret: bool = False):
+    """Row-split hybrid column stage, cross-tile pipelined.
+
+    The roll microbenchmark (benchmarks/mxu_micro.py) shows the column
+    stage is VPU-PASS-THROUGHPUT bound (a roll+add pass ~2.9 us/MDoF vs
+    ~1.9 for an FMA pass; K rolls + 2K FMAs ~= 20 us/MDoF at p=3), and
+    mxu3p's total (28 us) is already near that ceiling.  The only way
+    past it is to offload part of the column work to the MXU and OVERLAP:
+
+    * rows [0, vr) of each tile: shared lane rolls (the mxu3p column
+      stage, rewritten to emit the -p-SHIFTED V/W layout so both paths
+      agree: tap l is roll(u, -l) with tables b[l, 128+c] = band1[c, l]);
+    * rows [vr, T_ext): per-128-lane-block banded MXU matmuls
+      [V_j | W_j] = u[:, j*128 : j*128+256] @ C_j, bf16x3 (the mxucol
+      column stage);
+    * cross-tile pipelining: tile i's dots are ISSUED before tile i's
+      VPU rolls and tile i-1's row stage; the dot results are stored
+      after, so all VPU work in between is dependency-free and drains
+      under the in-flight matmuls (the mxu3p scheduling pattern).
+    * row stage: sublane slice FMAs + ONE +p post-roll of y.
+
+    vr tunes the VPU:MXU balance; with perfect overlap the optimum is
+    vr/T_ext ~ t_mxu/(t_vpu + t_mxu).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert grid.dim == 2
+    p = grid.degree
+    assert p <= 15
+    H = _round_up(p, 8)
+    N0, N1 = grid.nodes
+    tile_r = min(tile_r, _round_up(N0, 8))
+    T_ext = tile_r + 2 * H
+    if vpu_rows is None:
+        vpu_rows = _round_up(2 * T_ext // 3, 8)
+    vpu_rows = min(vpu_rows, T_ext)
+    mxu_rows = T_ext - vpu_rows
+    Rp = _round_up(N0, tile_r)
+    n_tiles = Rp // tile_r
+    W2i = _round_up(N1 + 2 * p, 128)
+    W2e = W2i + 256
+    nb = W2e // 128
+    K = 2 * p + 1
+    R_ext = Rp + 2 * H
+    NB = 1 if n_tiles == 1 else 2
+    split_dt = jnp.float32 if dtype == jnp.float64 else jnp.bfloat16
+
+    band0s = stiffness_1d(p, grid.cells[0], grid.h[0]).band
+    band0m = mass_1d(p, grid.cells[0], grid.h[0]).band
+    band1s = stiffness_1d(p, grid.cells[1], grid.h[1]).band
+    band1m = mass_1d(p, grid.cells[1], grid.h[1]).band
+
+    # row tables (Rp, 128)
+    b0s = np.zeros((Rp, 128))
+    b0m = np.zeros((Rp, 128))
+    b0s[:N0, :K] = band0s
+    b0m[:N0, :K] = band0m
+
+    # VPU roll tables in the SHIFTED output layout: tap l (roll -l) at
+    # out lane 128 + c carries band1[c, l]
+    b1s = np.zeros((K, W2e))
+    b1m = np.zeros((K, W2e))
+    for l in range(K):
+        b1s[l, 128 : 128 + N1] = band1s[:, l]
+        b1m[l, 128 : 128 + N1] = band1m[:, l]
+
+    # MXU column block tables (shared construction with mxucol)
+    C = np.zeros((nb, 256, 256))
+    jd = []
+    for j in range(1, nb - 1):
+        used = False
+        for x in range(128):
+            c = (j - 1) * 128 + x
+            if not (0 <= c < N1):
+                continue
+            used = True
+            for l in range(K):
+                C[j, x + l, x] = band1m[c, l]
+                C[j, x + l, 128 + x] = band1s[c, l]
+        if used:
+            jd.append(j)
+
+    def hl(a):
+        hi = a.astype(np.dtype(dtype)).astype(split_dt)
+        lo = (a.astype(np.dtype(dtype))
+              - np.asarray(hi, np.dtype(dtype))).astype(split_dt)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    Chi, Clo = hl(C.reshape(nb * 256, 256))
+    b0s, b0m = jnp.asarray(b0s, dtype), jnp.asarray(b0m, dtype)
+    b1s, b1m = jnp.asarray(b1s, dtype), jnp.asarray(b1m, dtype)
+    dn = (((1,), (0,)), ((), ()))
+
+    def kernel(u_hbm, b0s_ref, b0m_ref, b1s_ref, b1m_ref, chi_ref, clo_ref,
+               y_hbm, bufs, ytile, zrows, Vbuf, Wbuf,
+               sem_in, sem_out, sem_z):
+        i = pl.program_id(0)
+
+        def in_copy(t, slot):
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(pl.multiple_of(t * tile_r, 8), T_ext), :],
+                bufs.at[slot], sem_in.at[slot])
+
+        def out_copy(t, slot):
+            return pltpu.make_async_copy(
+                ytile.at[slot],
+                y_hbm.at[pl.ds(pl.multiple_of(H + t * tile_r, 8),
+                               tile_r), :],
+                sem_out.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            in_copy(0, 0).start()
+            if n_tiles > 1:
+                in_copy(1, 1).start()
+            zrows[...] = jnp.zeros((H, W2e), dtype)
+            for lo in (0, H + Rp):
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), H), :],
+                    sem_z).start()
+                pltpu.make_async_copy(
+                    zrows, y_hbm.at[pl.ds(pl.multiple_of(lo, 8), H), :],
+                    sem_z).wait()
+            # MXU rows never write the non-data blocks; the VPU rows
+            # write zeros there every tile (zero tables), so zero the
+            # MXU row range of those blocks once
+            if mxu_rows:
+                z = jnp.zeros((mxu_rows, 128), split_dt).astype(dtype)
+                for j in range(nb):
+                    if j in jd:
+                        continue
+                    for ref in (Vbuf, Wbuf):
+                        for s in range(NB):
+                            ref[s, vpu_rows:T_ext,
+                                j * 128 : (j + 1) * 128] = z
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            in_copy(i + 1, (i + 1) % 2).start()
+
+        slot = i % NB
+        prev = (i - 1) % NB
+        in_copy(i, slot).wait()
+
+        # (a) issue tile i's MXU column dots
+        accs = []
+        if mxu_rows:
+            um = bufs[slot, vpu_rows:T_ext, :]
+            uhi = um.astype(split_dt)
+            ulo = (um - uhi.astype(dtype)).astype(split_dt)
+            for j in jd:
+                a = j * 128
+                chi = chi_ref[j * 256 : (j + 1) * 256, :]
+                clo = clo_ref[j * 256 : (j + 1) * 256, :]
+                acc = jax.lax.dot_general(
+                    uhi[:, a : a + 256], chi, dimension_numbers=dn,
+                    preferred_element_type=dtype)
+                acc = acc + jax.lax.dot_general(
+                    uhi[:, a : a + 256], clo, dimension_numbers=dn,
+                    preferred_element_type=dtype)
+                acc = acc + jax.lax.dot_general(
+                    ulo[:, a : a + 256], chi, dimension_numbers=dn,
+                    preferred_element_type=dtype)
+                accs.append(acc)
+
+        # (b) tile i's VPU rolls (shifted layout, dependency-free)
+        if vpu_rows:
+            uv = bufs[slot, 0:vpu_rows, :]
+            V = jnp.zeros((vpu_rows, W2e), dtype)
+            W = jnp.zeros((vpu_rows, W2e), dtype)
+            for l in range(K):
+                r = uv if l == 0 else pltpu.roll(uv, W2e - l, axis=1)
+                V = V + b1m_ref[l : l + 1, :] * r
+                W = W + b1s_ref[l : l + 1, :] * r
+
+        def row_stage(t_index, vslot):
+            rs = pl.multiple_of(t_index * tile_r, 8)
+            cs_ = b0s_ref[pl.ds(rs, tile_r), :]
+            cm_ = b0m_ref[pl.ds(rs, tile_r), :]
+            v_win = Vbuf[vslot]
+            w_win = Wbuf[vslot]
+            acc = jnp.zeros((tile_r, W2e), dtype)
+            for k in range(K):
+                off = H - p + k
+                acc = acc + cs_[:, k : k + 1] * v_win[off : off + tile_r, :]
+                acc = acc + cm_[:, k : k + 1] * w_win[off : off + tile_r, :]
+            return pltpu.roll(acc, p, axis=1)
+
+        # (c) tile i-1's row stage (dependency-free of the dots)
+        @pl.when(i > 0)
+        def _():
+            y = row_stage(i - 1, prev)
+
+            @pl.when(i >= 3)
+            def _():
+                out_copy(i - 3, prev).wait()
+
+            ytile[prev] = y
+            out_copy(i - 1, prev).start()
+
+        # (d) drain: stores of tile i's V/W
+        if vpu_rows:
+            Vbuf[slot, 0:vpu_rows, :] = V
+            Wbuf[slot, 0:vpu_rows, :] = W
+        for j, acc in zip(jd, accs):
+            a = j * 128
+            Vbuf[slot, vpu_rows:T_ext, a : a + 128] = acc[:, 0:128]
+            Wbuf[slot, vpu_rows:T_ext, a : a + 128] = acc[:, 128:256]
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            y = row_stage(i, slot)
+
+            @pl.when(i >= 2)
+            def _():
+                out_copy(i - 2, slot).wait()
+
+            ytile[slot] = y
+            out_copy(i, slot).start()
+            out_copy(i, slot).wait()
+            if n_tiles > 1:
+                out_copy(i - 1, prev).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_ext, W2e), dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Rp, 128), lambda i: (0, 0)),
+            pl.BlockSpec((Rp, 128), lambda i: (0, 0)),
+            pl.BlockSpec((K, W2e), lambda i: (0, 0)),
+            pl.BlockSpec((K, W2e), lambda i: (0, 0)),
+            pl.BlockSpec((nb * 256, 256), lambda i: (0, 0)),
+            pl.BlockSpec((nb * 256, 256), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NB, T_ext, W2e), dtype),
+            pltpu.VMEM((NB, tile_r, W2e), dtype),
+            pltpu.VMEM((H, W2e), dtype),
+            pltpu.VMEM((NB, T_ext, W2e), dtype),
+            pltpu.VMEM((NB, T_ext, W2e), dtype),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA((NB,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(3 * 2 * len(jd) * mxu_rows * 256 * 256
+                   + 2 * 2 * K * vpu_rows * W2e) * n_tiles,
+            bytes_accessed=2 * 4 * Rp * W2e,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def apply_padded(u_pad):
+        return call(u_pad, b0s, b0m, b1s, b1m, Chi, Clo)
 
     def pad(u):
         out = jnp.zeros((R_ext, W2e), dtype)

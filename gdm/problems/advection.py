@@ -351,7 +351,8 @@ class AdvectionProblem:
             time.advance_time()
         return self.rows
 
-    def run_scan(self, chunk: int = 128):
+    def run_scan(self, chunk: int = 128, checkpoint_path: str = None,
+                 checkpoint_every: int = 1):
         """Whole-horizon time loop as jitted ``lax.scan`` device programs.
 
         Numerically identical to :meth:`run` (same DiscreteTime step
@@ -364,7 +365,18 @@ class AdvectionProblem:
         remote-TPU execution path kills very long single programs.)
         Requires ``exact_solution``/``exact_solution_der`` to be
         jax-traceable.  Populates and returns ``self.rows``.
+
+        checkpoint_path: when set, the solver state + error trajectory
+        are written there after every ``checkpoint_every`` chunks
+        (atomically, gdm.checkpoint), and an existing checkpoint is
+        RESUMED from instead of restarting the horizon — a killed run
+        re-launched with the same arguments continues mid-trajectory
+        (tests/test_checkpoint_resume.py).
         """
+        import os
+
+        from .. import checkpoint
+
         pp = self.params
         if pp.strong_bc:
             raise NotImplementedError(
@@ -426,10 +438,25 @@ class AdvectionProblem:
             u0 = self.interpolate_exact(pp.start_t)
             u1 = u0
             parts = [np.asarray(err0(u0, u1))[None]]
-            for s in range(0, len(ts), chunk):
+            start = 0
+            if checkpoint_path and os.path.exists(checkpoint_path):
+                (u0, u1, es_prev), _, meta = checkpoint.load(
+                    checkpoint_path, (u0, u1, np.zeros(1)))
+                parts = [np.asarray(es_prev)]
+                start = int(meta["next_s"])
+            for ci, s in enumerate(range(start, len(ts), chunk)):
                 es, u0, u1 = traj_chunk(u0, u1, ts[s : s + chunk],
                                         dts[s : s + chunk])
                 parts.append(np.asarray(es))
+                if checkpoint_path and (
+                        (ci + 1) % checkpoint_every == 0
+                        or s + chunk >= len(ts)):
+                    checkpoint.save(
+                        checkpoint_path,
+                        (u0, u1, np.concatenate(parts)),
+                        float(ts[min(s + chunk, len(ts)) - 1]
+                              + dts[min(s + chunk, len(ts)) - 1]),
+                        meta={"next_s": s + chunk})
             self.u0, self.u1 = u0, u1
             es = np.concatenate(parts)
             for step in range(es.shape[0]):
@@ -469,9 +496,22 @@ class AdvectionProblem:
         u = self.interpolate_exact(pp.start_t)
         parts = [np.asarray(
             jax.jit(lambda v: errs(v, pp.start_t, self.op_in, adv))(u))[None]]
-        for s in range(0, len(ts), chunk):
+        start = 0
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            (u, es_prev), _, meta = checkpoint.load(
+                checkpoint_path, (u, np.zeros(1)))
+            parts = [np.asarray(es_prev)]
+            start = int(meta["next_s"])
+        for ci, s in enumerate(range(start, len(ts), chunk)):
             es, u = traj_chunk(u, ts[s : s + chunk], dts[s : s + chunk])
             parts.append(np.asarray(es))
+            if checkpoint_path and ((ci + 1) % checkpoint_every == 0
+                                    or s + chunk >= len(ts)):
+                checkpoint.save(
+                    checkpoint_path, (u, np.concatenate(parts)),
+                    float(ts[min(s + chunk, len(ts)) - 1]
+                          + dts[min(s + chunk, len(ts)) - 1]),
+                    meta={"next_s": s + chunk})
         self.u = u
         es = np.concatenate(parts)
         for step in range(es.shape[0]):

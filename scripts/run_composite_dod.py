@@ -47,9 +47,17 @@ def main():
     t0 = time.time()
     # chunk=32: the remote-TPU relay kills single programs much beyond
     # ~2-3 device-minutes; 32 steps x 8 preconditioned mass-CG solves
-    # stays well under that
-    rows = prob.run() if python_loop else prob.run_scan(chunk=32)
+    # stays well under that.  Checkpoint after every chunk: a killed run
+    # re-launched with the same arguments resumes mid-horizon.
+    ckpt = None if python_loop else out_path + ".ckpt"
+    rows = prob.run() if python_loop else prob.run_scan(
+        chunk=32, checkpoint_path=ckpt)
     wall = time.time() - t0
+    if ckpt is not None:
+        import os
+
+        if os.path.exists(ckpt):
+            os.remove(ckpt)  # horizon complete; trajectory is in out_path
     with open(out_path, "w") as f:
         f.write("# composite DoD run (advection-app.cc config), "
                 f"end_t={params.end_t}, wall_s={wall:.0f}\n")

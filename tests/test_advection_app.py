@@ -5,8 +5,8 @@ conditions).  ALL 18 rows of the table are reproduced (factor 1..9 for
 p=3/cfl=0.4 and p=5/cfl=0.1 at 40^2); each must match all six error
 columns (volume + surface L2/L1/Linf) to the printed 5 digits.  The
 three cheapest p=3 rows run in the default suite; the rest are marked
-slow (they still run in a plain `pytest tests/`, just flagged for
-selective deselection)."""
+slow and DESELECTED by default (pytest.ini addopts -m "not slow") —
+run them with `pytest tests/ -m slow` (see CLAUDE.md)."""
 
 import numpy as np
 import pytest

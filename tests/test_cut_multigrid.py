@@ -1,0 +1,111 @@
+"""Mesh-independent preconditioning for cut systems (the reference's
+AMG role, problem.h:457-502): CG iteration counts with the CutMultigrid
+V-cycle must stay flat under mesh refinement on
+
+* the step85-style cut Poisson stiffness system, and
+* the implicit-heat (M + dt*S) system,
+
+where point-Jacobi CG grows like O(n)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gdm import solvers
+from gdm.cut.geometry import INSIDE, CutGeometry
+from gdm.cut.operators import CutOperators
+from gdm.cut.multigrid import cut_poisson_multigrid, cut_heat_impl_multigrid
+from gdm.cut.stencil import assemble_stencil
+from gdm.grid import Grid
+
+LS = lambda m: np.sqrt(sum(np.asarray(x) ** 2 for x in m)) - 1.0  # noqa: E731
+GN = 15.0  # 5 * p
+GA = 0.5
+
+
+def _step85_system(n):
+    grid = Grid(3, (n, n), (-1.21, -1.21), (1.21, 1.21))
+    geo = CutGeometry.build(grid, LS, 3)
+    op = CutOperators(geo, INSIDE)
+    st = assemble_stencil(op, "stiff", GA, GN, with_nitsche=True)
+    b = op.compute_rhs(
+        jnp.zeros(grid.n_nodes), 0.0, False,
+        rhs_fn=lambda pts, t: jnp.full(pts.shape[:-1], 4.0),
+        interface_dbc=lambda pts, t: jnp.full(pts.shape[:-1], 1.0),
+        nitsche_gamma=GN)
+    return grid, op, st, b
+
+
+def _solve_iters(apply_fn, b, pre, tol=1e-8, max_iter=400):
+    x, info = jax.jit(lambda b: solvers.cg(
+        apply_fn, b, precond=pre, max_iter=max_iter, rel_tol=tol))(b)
+    return int(info["iterations"]), x
+
+
+def test_step85_mg_iterations_flat():
+    iters = {}
+    for n in (40, 80, 160):
+        grid, op, st, b = _step85_system(n)
+        mg = cut_poisson_multigrid(op, GA, GN, LS, level_set_degree=3)
+        it, x = _solve_iters(st.apply, b, jax.jit(mg.precondition))
+        iters[n] = it
+        # solution actually solves the system
+        r = float(jnp.linalg.norm(st.apply(x) - b) / jnp.linalg.norm(b))
+        assert r < 1e-7, r
+    # mesh independence: once the level count stabilizes (40^2 has one
+    # level fewer), refinement adds at most noise
+    assert iters[160] <= iters[80] + 3, iters
+    assert iters[160] <= 25, iters
+
+
+def test_step85_mg_beats_jacobi():
+    grid, op, st, b = _step85_system(80)
+    mg = cut_poisson_multigrid(op, GA, GN, LS, level_set_degree=3)
+    it_mg, _ = _solve_iters(st.apply, b, jax.jit(mg.precondition))
+    diag = jnp.asarray(op.stiffness_diagonal(GA, GN))
+    it_j, _ = _solve_iters(st.apply, b, solvers.jacobi_preconditioner(diag),
+                           max_iter=2000)
+    assert it_mg * 5 < it_j, (it_mg, it_j)
+
+
+def test_heat_impl_mg_iterations_flat():
+    GM = 0.75
+    iters = {}
+    for n in (40, 80, 160):
+        grid = Grid(3, (n, n), (-1.21, -1.21), (1.21, 1.21))
+        geo = CutGeometry.build(grid, LS, 3)
+        op = CutOperators(geo, INSIDE)
+        dt = 0.3 * 2.42 / n
+        m = assemble_stencil(op, "mass", GM)
+        s = assemble_stencil(op, "stiff", 1.5, GN, with_nitsche=True,
+                             inactive_identity=False)
+        from gdm.cut.stencil import StencilOperator
+
+        sys_op = StencilOperator(grid, m.band_host + dt * s.band_host,
+                                 m.radius)
+        mg = cut_heat_impl_multigrid(op, dt, GM, 1.5, GN, LS,
+                                     level_set_degree=3)
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.standard_normal(grid.n_nodes)
+                        * ~op.inactive)
+        it, x = _solve_iters(sys_op.apply, b, jax.jit(mg.precondition))
+        iters[n] = it
+        r = float(jnp.linalg.norm(sys_op.apply(x) - b)
+                  / jnp.linalg.norm(b))
+        assert r < 1e-7, r
+    assert iters[160] <= iters[80] + 5, iters
+    assert iters[160] <= 28, iters
+
+
+@pytest.mark.slow
+def test_step85_mg_iterations_flat_512():
+    """The full 64^2 -> 512^2 sweep of the VERDICT done-criterion."""
+    iters = {}
+    for n in (64, 128, 256, 512):
+        grid, op, st, b = _step85_system(n)
+        mg = cut_poisson_multigrid(op, GA, GN, LS, level_set_degree=3)
+        it, x = _solve_iters(st.apply, b, jax.jit(mg.precondition))
+        iters[n] = it
+    assert iters[512] <= iters[128] + 4, iters
+    assert iters[512] <= 30, iters

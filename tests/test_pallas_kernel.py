@@ -121,6 +121,34 @@ def test_mxucol_matches_xla_operator(p, cells, tile_r):
                                y2_ref, rtol=2e-11, atol=2e-10)
 
 
+@pytest.mark.parametrize("p,cells,tile_r,vr", [
+    (3, (40, 72), 64, 24),     # single tile, split rows
+    (3, (300, 140), 64, 40),   # 5 tiles: cross-tile pipeline
+    (3, (300, 140), 64, 0),    # all-MXU column stage
+    (3, (300, 140), 64, 80),   # all-VPU column stage (rolls only)
+    (5, (48, 40), 64, 32),
+    (7, (32, 33), 64, 24),
+])
+def test_hybp_matches_xla_operator(p, cells, tile_r, vr):
+    from gdm.ops.pallas_stencil2 import make_padded_laplace2_hybp
+
+    grid = Grid(p, cells, (0.0, 0.0), (1.0, 2.0))
+    f = laplace_apply_fn(grid, dtype=jnp.float64)
+    rng = np.random.default_rng(9)
+    u = rng.standard_normal(grid.nodes)
+    y_ref = np.asarray(f(jnp.asarray(u)))
+    ap, pad, unpad, shape = make_padded_laplace2_hybp(
+        grid, jnp.float64, tile_r=tile_r, vpu_rows=vr, interpret=True)
+    y = np.asarray(unpad(ap(pad(jnp.asarray(u)))))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-12, atol=2e-12)
+    y2 = np.asarray(ap(ap(pad(jnp.asarray(u)))))
+    N0, N1 = grid.nodes
+    H = _round_up(p, 8)
+    mask = np.ones(shape, bool)
+    mask[H : H + N0, 128 + p : 128 + p + N1] = False
+    assert np.max(np.abs(y2[mask])) == 0.0
+
+
 def test_padded_layout_closed_under_apply():
     """Guard rows / pad lanes stay zero, so CG can chain applies."""
     p = 3
@@ -165,13 +193,14 @@ def test_3d_matches_xla_operator(p, cells, tile_planes):
     np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-11)
 
 
+@pytest.mark.parametrize("pipelined", [False, True])
 @pytest.mark.parametrize("p,cells,tile_planes1", [
     (3, (12, 12, 12), 4),     # multi-tile
     (3, (12, 12, 12), None),  # auto tiling
     (5, (10, 9, 11), 3),      # anisotropic, one-sided bands
     (7, (9, 8, 10), None),
 ])
-def test_3d_mxu_matches_xla_operator(p, cells, tile_planes1):
+def test_3d_mxu_matches_xla_operator(p, cells, tile_planes1, pipelined):
     from gdm.ops.pallas_stencil2 import make_padded_laplace3_mxu
 
     grid = Grid(p, cells, (0.0, 0.0, 0.0), (1.0, 2.0, 1.5))
@@ -180,7 +209,8 @@ def test_3d_mxu_matches_xla_operator(p, cells, tile_planes1):
     u = rng.standard_normal(grid.nodes)
     y_ref = np.asarray(f(jnp.asarray(u)))
     ap, pad, unpad, shape = make_padded_laplace3_mxu(
-        grid, jnp.float64, tile_planes1=tile_planes1, interpret=True)
+        grid, jnp.float64, tile_planes1=tile_planes1, interpret=True,
+        pipelined=pipelined)
     y = np.asarray(unpad(ap(pad(jnp.asarray(u)))))
     # f32 hi/lo split of the plane-coupling matmul (same path as the
     # TPU bf16x3 scheme) costs ~1e-15 relative
