@@ -115,7 +115,8 @@ def main():
                     (1024, 3, (1024, 1024)), (2048, 3, (2048, 2048)),
                     (4096, 3, (4096, 4096)), ("p5_1024", 5, (1024, 1024)),
                     ("p5_2048", 5, (2048, 2048)),
-                    ("p3_3d_160", 3, (160, 160, 160))):
+                    ("p3_3d_160", 3, (160, 160, 160)),
+                    ("p3_3d_256", 3, (256, 256, 256))):
                 grid = Grid(p, cells, (0.0,) * len(cells),
                             (1.0,) * len(cells))
                 apply_pad, pad, unpad, _ = best_padded_laplace(
@@ -195,7 +196,9 @@ def main():
     mg_floor = float(mg_floor_) / nb
 
     # end-to-end flagship step: 2D cut wave RK4 (4 stages x mass-CG +
-    # matrix-free cut stiffness RHS), f32, 128^2
+    # matrix-free cut stiffness RHS), f32, 128^2.  entry() uses the SAME
+    # dispatch as the app drivers (gdm/cut/fastapply.py on TPU), so this
+    # measures the kernels the product actually runs.
     import __graft_entry__
 
     step, args = __graft_entry__.entry(n=128)

@@ -273,8 +273,30 @@ def best_solver_apply(op: CutOperators, kind: str, gamma: float,
                       nitsche_gamma: float = 0.0,
                       with_nitsche: bool = False,
                       max_band_entries: float = 3e7):
-    """The fastest apply for solver-inner-loop use: the stencil-band form
-    when its memory is modest, else the matrix-free form."""
+    """The fastest apply for solver-inner-loop use.
+
+    On TPU (2D): the split separable-Kronecker + interface-correction
+    apply whose heavy part is the fused mxu3p Pallas kernel
+    (gdm/cut/fastapply.py) — the same kernel family bench.py reports.
+    Elsewhere: the stencil-band form when its memory is modest, else the
+    matrix-free form.  Opt out of the Pallas path with
+    GDM_DISABLE_PALLAS=1.
+    """
+    import os
+
+    if (op.grid.dim == 2 and os.environ.get("GDM_DISABLE_PALLAS") != "1"):
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = None
+        if platform in ("tpu", "axon"):
+            from .fastapply import fast_stencil_apply
+
+            st = assemble_stencil(op, kind, gamma, nitsche_gamma,
+                                  with_nitsche)
+            fast = fast_stencil_apply(st, op, kind)
+            if fast is not None:
+                return fast
     K = 2 * (op.grid.degree + 1) + 1
     if op.grid.n_nodes * K**op.grid.dim <= max_band_entries:
         return assemble_stencil(op, kind, gamma, nitsche_gamma,

@@ -29,14 +29,21 @@ def _bands(grid: Grid, dtype):
 
 
 def laplace_apply_fn(grid: Grid, dtype=jnp.float32, use_pallas: str = None):
+    """Best Laplace apply for the platform.
+
+    On genuine TPU the default rides the fused Pallas kernels
+    (best_padded_laplace: mxu3p, bf16x3 row matmuls — accuracy class
+    ~1e-6 RELATIVE, ~10x f32 eps; f32-exact callers can opt out with
+    use_pallas="never" or GDM_DISABLE_PALLAS=1, or pick the f32-exact
+    pure-VPU kernel via make_padded_laplace2(rows="vpu")).  Elsewhere:
+    the XLA separable path (4 banded sweeps).
+    """
     import os
 
     if use_pallas is None:
-        # The fused Pallas kernel is the roofline path, but the remote
-        # TPU relay in this environment cannot compile Pallas kernels in
-        # reasonable time; opt in explicitly via GDM_ENABLE_PALLAS=1.
         use_pallas = (
-            "auto" if os.environ.get("GDM_ENABLE_PALLAS") == "1" else "never"
+            "never" if os.environ.get("GDM_DISABLE_PALLAS") == "1"
+            else "auto"
         )
     bs, bm = _bands(grid, dtype)
     dim = grid.dim

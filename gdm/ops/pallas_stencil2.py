@@ -43,7 +43,7 @@ def _round_up(x, m):
 
 def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
                          interpret: bool = False, rows: str = "vpu",
-                         mxu_precision=None):
+                         mxu_precision=None, bands=None):
     """Returns (apply_padded, pad, unpad, padded_shape) for the 2D GD
     Laplace at any odd degree p <= 15.
 
@@ -52,6 +52,13 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
     HIGHEST precision (f32-faithful 6-pass bf16), y = [S0|M0] @ [V; W] —
     overlaps with the VPU column stage and wins when the VPU is the
     bottleneck (measured ~2x at >= 2048^2 on v5e).
+
+    bands: optional (A0, A1, B0, B1) numpy band matrices ((N_d, 2p+1)
+    each, the Banded1D.band layout) generalizing the operator to
+    y = A0 U A1^T + B0 U B1^T — used to run the cut operators' separable
+    Kronecker parts (mass: (M0, M1, 0, 0); M + dt*S: (M0 + dt*S0, M1,
+    dt*M0, S1)) through the same fused kernel.  Default: the Laplace
+    (S0, M1, M0, S1).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -74,16 +81,22 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
     NB = 1 if n_tiles == 1 else 2
     T_ext = tile_r + 2 * H
 
+    if bands is None:
+        bands = (stiffness_1d(p, grid.cells[0], grid.h[0]).band,
+                 mass_1d(p, grid.cells[1], grid.h[1]).band,
+                 mass_1d(p, grid.cells[0], grid.h[0]).band,
+                 stiffness_1d(p, grid.cells[1], grid.h[1]).band)
+    A0b, A1b, B0b, B1b = bands
     # row band tables (Rp, K), zero on padding rows, stored lane-padded
     b0s = np.zeros((Rp, 128), np.float64)
     b0m = np.zeros((Rp, 128), np.float64)
-    b0s[:N0, :K] = stiffness_1d(p, grid.cells[0], grid.h[0]).band
-    b0m[:N0, :K] = mass_1d(p, grid.cells[0], grid.h[0]).band
+    b0s[:N0, :K] = A0b
+    b0m[:N0, :K] = B0b
     # column roll tables: b1*[l, j] = band1[j - p, l] on the data lanes
     b1s = np.zeros((K, W2))
     b1m = np.zeros((K, W2))
-    band1s = stiffness_1d(p, grid.cells[1], grid.h[1]).band
-    band1m = mass_1d(p, grid.cells[1], grid.h[1]).band
+    band1s = B1b
+    band1m = A1b
     for l in range(K):
         b1s[l, p : p + N1] = band1s[:, l]
         b1m[l, p : p + N1] = band1m[:, l]
@@ -2213,27 +2226,31 @@ def make_padded_laplace2_hybp(grid: Grid, dtype=jnp.float32,
     return apply_padded, pad, unpad, (R_ext, W2e)
 
 
-def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False):
+def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False,
+                        rows: str = None):
     """Auto-select the best 2D/3D kernel (v5e-measured, honest chained
     timing — see bench.timed_chain):
 
-    * 2D: cross-tile-pipelined mxu3p with tile_r=64 everywhere —
-      35.5/33.6/28.6 GDoF/s at 1024^2/2048^2/4096^2 p=3 (vs 31.6/30.9/
-      27.9 unpipelined mxu3, 28.9 best pure-VPU, 25.9/27.7 multi-pass
-      XLA).  The small tile keeps the dense row-matmul K-dim minimal;
-      issuing tile i-1's matmuls before tile i's rolls drains the MXU
-      under the roll loop.  Falls back to mxu3 when single-tile.
-    * dim == 3: the plane-lanes MXU kernel (laplace3_mxu, 7.1 GDoF/s at
-      160^3 vs 6.8 for the all-VPU laplace3 and 5.3 for XLA) while the
-      plane count fits its dense lane transform; the all-VPU kernel
-      otherwise.
+    * 2D: cross-tile-pipelined mxu3p with tile_r=96 —
+      38.7/34.0/~29 GDoF/s at 1024^2/2048^2/4096^2 p=3 and 24.7 at
+      1024^2 p=5 (vs 31.6/30.9 unpipelined mxu3, 28.9 best pure-VPU,
+      ~20-23 for every roll-free MXU-column design — the skinny
+      (.,256)@(256,256) dots run at 50-107 Tflop/s, see
+      benchmarks/mxu_micro.py).  Issuing tile i-1's matmuls before tile
+      i's rolls drains the MXU under the roll loop.
+      ACCURACY NOTE: the mxu3p row matmuls are bf16x3 (~1e-6 relative,
+      ~10x f32 eps); pass rows="vpu" for the f32-exact pure-VPU kernel.
+    * dim == 3: the plane-lanes MXU kernel (laplace3_mxu, pipelined)
+      while the plane count fits its dense lane transform; the all-VPU
+      kernel otherwise.
     """
     if grid.dim == 3:
         if grid.nodes[0] + 2 * grid.degree <= 512:
-            return make_padded_laplace3_mxu(grid, dtype, interpret=interpret)
+            return make_padded_laplace3_mxu(grid, dtype, interpret=interpret,
+                                            pipelined=True)
         return make_padded_laplace3(grid, dtype, interpret=interpret)
-    return make_padded_laplace2(grid, dtype, tile_r=64, rows="mxu3p",
-                                interpret=interpret)
+    return make_padded_laplace2(grid, dtype, tile_r=96,
+                                rows=rows or "mxu3p", interpret=interpret)
 
 
 def laplace_2d_pallas2_fn(grid: Grid, dtype=jnp.float32):

@@ -209,7 +209,11 @@ class AdvectionProblem:
 
             apply_fn = sharded_stencil_apply(st, self.mesh)
         elif op.grid.n_nodes * K**op.grid.dim <= 3e7:
-            apply_fn = st.apply
+            from ..cut.fastapply import fast_stencil_apply
+
+            # TPU: split separable + correction apply (Pallas); the
+            # stencil-band sweep elsewhere
+            apply_fn = fast_stencil_apply(st, op, "mass") or st.apply
         else:
             apply_fn = lambda v: op.mass_apply(v, gm)
         # cut-window Schwarz: point-Jacobi CG stalls on the near-singular

@@ -219,11 +219,35 @@ class WaveProblem:
                 lambda v: op.mass_apply(v, gm), self.grid.n_nodes)
         from ..cut.stencil import assemble_stencil, best_solver_apply
 
+        diag = jnp.asarray(op.mass_diagonal(gm))
+        if self.mesh is None:
+            # TPU: run the whole CG in the fused kernel's padded layout
+            # (guard zeros are inert in the dot products), one pallas
+            # launch per iteration
+            from ..cut.fastapply import fast_stencil_bundle
+
+            bundle = fast_stencil_bundle(assemble_stencil(op, "mass", gm))
+            if bundle is not None:
+                apply_padded, pad, unpad = bundle
+                dpad = pad(diag)
+                pre_pad = solvers.jacobi_preconditioner(
+                    jnp.where(dpad == 0.0, 1.0, dpad))
+
+                def solve(b):
+                    x, info = solvers.cg(
+                        apply_padded, pad(b), precond=pre_pad,
+                        max_iter=pp.solver_max_iterations,
+                        abs_tol=pp.solver_abs_tolerance,
+                        rel_tol=pp.solver_rel_tolerance,
+                    )
+                    return unpad(x)
+
+                return solve
+
         if self.mesh is not None:
             apply_fn = self._maybe_shard(assemble_stencil(op, "mass", gm))
         else:
             apply_fn = best_solver_apply(op, "mass", gm)
-        diag = jnp.asarray(op.mass_diagonal(gm))
         pre = solvers.jacobi_preconditioner(diag)
 
         def solve(b):
@@ -355,7 +379,15 @@ class WaveProblem:
                 inactive_identity=False,
             )
 
-            S_apply = self._maybe_shard(S)
+            if self.mesh is None:
+                # TPU: split separable + interface-correction apply
+                # riding the fused Pallas kernel (gdm/cut/fastapply.py)
+                from ..cut.fastapply import fast_stencil_apply
+
+                S_apply = fast_stencil_apply(
+                    S, op, "stiff", inactive_identity=False) or S.apply
+            else:
+                S_apply = self._maybe_shard(S)
 
             def rhs(u, t):
                 forcing = op.compute_rhs(
