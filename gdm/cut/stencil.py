@@ -269,6 +269,44 @@ def schwarz_jacobi_preconditioner(st: StencilOperator, windows,
     return precondition
 
 
+def schwarz_band(st: StencilOperator, windows) -> StencilOperator:
+    """The additive Schwarz(+Jacobi) preconditioner ASSEMBLED into
+    stencil-band form.
+
+    B = sum_w R_w^T A[w, w]^{-1} R_w  (+ point Jacobi on uncovered rows)
+    has exactly the window-stencil sparsity (all window-internal offsets
+    are <= p per axis, padded here to the operator's radius so B shares
+    its padded kernel layout).  Same math as
+    schwarz_jacobi_preconditioner, but applied as ONE fused band kernel
+    per CG iteration instead of a gather -> batched solve -> scatter
+    (TPU gathers run at ~150 M elem/s: the gather form costs ~1 ms per
+    application at 128^2 where the band form costs ~2 us)."""
+    grid = st.grid
+    dim = grid.dim
+    K = 2 * st.radius + 1
+    band_flat = np.asarray(st.band_host, np.float64).reshape(
+        grid.n_nodes, K**dim)
+    center = (K**dim - 1) // 2
+    diag = band_flat[:, center]
+    covered = np.zeros(grid.n_nodes, dtype=bool)
+    bandB = np.zeros_like(band_flat)
+    windows = np.asarray(windows)
+    if windows.size:
+        covered[windows.reshape(-1)] = True
+        loc = _local_blocks(band_flat, windows, grid, st.radius)
+        if not jax.config.jax_enable_x64:
+            # same f32 ridge rationale as schwarz_jacobi_preconditioner
+            m = loc.shape[-1]
+            d = np.einsum("nii->ni", loc)
+            ridge = 1e-7 * d.max(axis=1)
+            loc = loc + ridge[:, None, None] * np.eye(m)
+        _accumulate(bandB, windows, np.linalg.inv(loc), grid, st.radius)
+    safe = np.where(diag == 0.0, 1.0, diag)
+    bandB[:, center] += np.where(covered, 0.0, 1.0 / safe)
+    return StencilOperator(grid, bandB.reshape(grid.nodes + (K,) * dim),
+                           st.radius)
+
+
 def best_solver_apply(op: CutOperators, kind: str, gamma: float,
                       nitsche_gamma: float = 0.0,
                       with_nitsche: bool = False,

@@ -225,13 +225,22 @@ class WaveProblem:
             # (guard zeros are inert in the dot products), one pallas
             # launch per iteration
             from ..cut.fastapply import fast_stencil_bundle
+            from ..cut.stencil import schwarz_band
 
-            bundle = fast_stencil_bundle(assemble_stencil(op, "mass", gm))
+            st = assemble_stencil(op, "mass", gm)
+            bundle = fast_stencil_bundle(st)
             if bundle is not None:
                 apply_padded, pad, unpad = bundle
-                dpad = pad(diag)
-                pre_pad = solvers.jacobi_preconditioner(
-                    jnp.where(dpad == 0.0, 1.0, dpad))
+                # cut-window Schwarz in band form: point-Jacobi CG stalls
+                # at the f32 floor on the GP'd cut mass's sliver modes
+                # (measured: 100 iters, rel 1.5e-2 at 128^2 f32)
+                bpre = fast_stencil_bundle(schwarz_band(st, op.w_cut))
+                if bpre is not None:
+                    pre_pad = bpre[0]
+                else:
+                    dpad = pad(diag)
+                    pre_pad = solvers.jacobi_preconditioner(
+                        jnp.where(dpad == 0.0, 1.0, dpad))
 
                 def solve(b):
                     x, info = solvers.cg(
@@ -331,6 +340,21 @@ class WaveProblem:
                 with_nitsche=pp.function_interface_dbc is not None)
             diag_np = self._stiffness_diag()
 
+        if pp.solver_name == "MG":
+            # mesh-independent multilevel preconditioner for the cut
+            # stiffness system — the reference's AMG role
+            # (problem.h:461-469); see gdm/cut/multigrid.py
+            from ..cut.multigrid import cut_poisson_multigrid
+
+            mg = cut_poisson_multigrid(
+                op, ga, gn, pp.level_set_function,
+                level_set_degree=pp.level_set_fe_degree,
+                with_nitsche=pp.function_interface_dbc is not None,
+                with_bdry_nitsche=pp.function_domain_dbc is not None)
+            precond = mg.precondition
+        else:
+            precond = solvers.jacobi_preconditioner(jnp.asarray(diag_np))
+
         @jax.jit
         def solve():
             zero = jnp.zeros(self.grid.n_nodes)
@@ -340,10 +364,9 @@ class WaveProblem:
                 domain_dbc=pp.function_domain_dbc,
                 nitsche_gamma=gn,
             )
-            diag = jnp.asarray(diag_np)
             x, info = solvers.cg(
                 apply_fn,
-                b, precond=solvers.jacobi_preconditioner(diag),
+                b, precond=precond,
                 max_iter=pp.solver_max_iterations,
                 abs_tol=pp.solver_abs_tolerance,
                 rel_tol=pp.solver_rel_tolerance,

@@ -109,3 +109,18 @@ def test_step85_mg_iterations_flat_512():
         iters[n] = it
     assert iters[512] <= iters[128] + 4, iters
     assert iters[512] <= 30, iters
+
+
+def test_step85_preset_with_mg_solver():
+    """WaveProblem poisson path with solver_name='MG' reproduces the
+    step85 golden-scale accuracy (reference: AMG-preconditioned CG,
+    problem.h:461-469)."""
+    from gdm.problems.wave import WaveProblem, make_preset
+
+    params = make_preset("step85", 2)
+    params.solver_name = "MG"
+    params.solver_rel_tolerance = 1e-12
+    prob = WaveProblem(params, verbose=False)
+    prob.run()
+    c, t, l2, l1, li = prob.rows[0][-1]
+    np.testing.assert_allclose(l2, 8.5201e-9, rtol=1e-3)
