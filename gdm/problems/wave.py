@@ -231,9 +231,34 @@ class WaveProblem:
             bundle = fast_stencil_bundle(st)
             if bundle is not None:
                 apply_padded, pad, unpad = bundle
-                # cut-window Schwarz in band form: point-Jacobi CG stalls
-                # at the f32 floor on the GP'd cut mass's sliver modes
-                # (measured: 100 iters, rel 1.5e-2 at 128^2 f32)
+                # first choice: the whole FSAI-preconditioned CG as ONE
+                # VMEM-resident pallas launch (~130 us at 128^2 vs ~2 ms
+                # for per-iteration streamed applies)
+                try:
+                    from ..cut.fsai import fsai_factors
+                    from ..ops.pallas_resident import make_resident_cg
+
+                    G, GT = fsai_factors(st)
+                    res = make_resident_cg(
+                        st, G, GT,
+                        max_iter=min(pp.solver_max_iterations, 40),
+                        rel_tol=max(pp.solver_rel_tolerance, 1e-6),
+                        abs_tol=max(pp.solver_abs_tolerance, 1e-12),
+                    )
+                except Exception:
+                    res = None
+                if res is not None:
+                    solve_r, pad_r, unpad_r, _ = res
+
+                    def solve(b):
+                        return unpad_r(solve_r(pad_r(b))).reshape(-1)
+
+                    return solve
+
+                # fallback: streamed-kernel CG; cut-window Schwarz in
+                # band form (point-Jacobi CG stalls at the f32 floor on
+                # the GP'd cut mass's sliver modes: 100 iters, rel
+                # 1.5e-2 at 128^2 f32)
                 bpre = fast_stencil_bundle(schwarz_band(st, op.w_cut))
                 if bpre is not None:
                     pre_pad = bpre[0]
