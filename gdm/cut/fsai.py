@@ -1,29 +1,32 @@
 """Factored sparse approximate inverse (FSAI) preconditioner for
-assembled 2D stencil-band operators.
+assembled stencil-band operators (any dim).
 
 B = G^T G with G lower-triangular on the band sparsity: row i of G is
 obtained from the local solve  A[J_i, J_i] y = e_i  over the "lower"
-neighborhood J_i (offsets (d0, d1) with d0 < 0, or d0 == 0 and d1 <= 0,
-|d| <= R), scaled so diag(G A G^T) = 1.  For SPD A the local blocks are
+neighborhood J_i (tap offsets lexicographically <= 0, |d| <= R per
+axis), scaled so diag(G A G^T) = 1.  For SPD A the local blocks are
 principal submatrices of A, hence SPD, so the factor always exists.
 
 This is the TPU-native answer to the reference's ILU role
 (applications/wave/include/gdm/wave/problem.h:461-469): the GP'd cut
-mass and heat operators have exponentially-decaying inverses, so a
-band-sparsity G captures them well — measured on the wave-preset cut
-mass at 128^2, CG to rel 1e-5 takes 10 iterations with R = p+1 FSAI
-vs 39 with cut-window Schwarz and ~100+ with point Jacobi — and unlike
-ILU's sequential triangular solves, applying G and G^T are plain band
-sweeps that ride the same fused Pallas kernels as the operator itself.
+mass and (M + dt S) heat operators have exponentially-decaying
+inverses, so a band-sparsity G captures them well — measured on the
+wave-preset cut mass at 128^2, CG to rel 1e-5 takes 10 iterations with
+R = p+1 FSAI vs 39 with cut-window Schwarz and ~100+ with point
+Jacobi — and unlike ILU's sequential triangular solves, applying G and
+G^T are plain band sweeps that ride the same fused Pallas kernels as
+the operator itself (including the VMEM-resident one-launch CG,
+gdm/ops/pallas_resident.py).
 
 Both factors are returned as generalized band coefficient tables in the
-StencilOperator convention (band[node, dy, dx] multiplies
-u[node + (dy - r, dx - r)]), so every existing band-apply path (XLA
-rolls, fused Pallas streaming kernel, VMEM-resident solver kernel)
-applies them unchanged.
+StencilOperator convention (C-order taps: band[node, t] with per-axis
+offset d_k = t_k - r multiplying u[node + d]), so every existing
+band-apply path applies them unchanged.
 """
 
 from __future__ import annotations
+
+import itertools
 
 import numpy as np
 import jax
@@ -32,16 +35,16 @@ import jax.numpy as jnp
 from .stencil import StencilOperator
 
 
-def lower_offsets(R: int):
-    """Lexicographic 'lower half' tap offsets, diagonal (0, 0) LAST
+def lower_offsets(R: int, dim: int):
+    """Lexicographic 'lower half' tap offsets, diagonal (0,...,0) LAST
     (its position is what the scaled local solve pivots on)."""
+    zero = (0,) * dim
     offs = [
-        (d0, d1)
-        for d0 in range(-R, 1)
-        for d1 in range(-R, R + 1)
-        if (d0 < 0 or d1 <= 0) and not (d0 == 0 and d1 == 0)
+        o for o in itertools.product(range(-R, R + 1), repeat=dim)
+        if o < zero
     ]
-    offs.append((0, 0))
+    offs.sort()
+    offs.append(zero)
     return offs
 
 
@@ -49,42 +52,42 @@ def fsai_factors(st: StencilOperator, R: int = None):
     """(G, GT): lower/upper band factors of B = G^T G ~= A^{-1}.
 
     G and GT are StencilOperator instances of radius max(R, st.radius)
-    band layout (absent taps zero), so B r = GT.apply(G.apply(r)).
+    (absent taps zero), so B r = GT.apply(G.apply(r)).
     """
     grid = st.grid
-    assert grid.dim == 2
+    dim = grid.dim
     r = st.radius
     if R is None:
         R = r
     K = 2 * r + 1
-    N0, N1 = grid.nodes
-    N = N0 * N1
-    band = np.asarray(st.band_host, np.float64).reshape(N0, N1, K, K)
+    nodes = grid.nodes
+    N = grid.n_nodes
+    band = np.asarray(st.band_host, np.float64).reshape(N, K**dim)
 
-    offs = lower_offsets(R)
+    offs = lower_offsets(R, dim)
     m = len(offs)
-    offs_a = np.asarray(offs)  # (m, 2)
+    offs_a = np.asarray(offs)  # (m, dim)
 
-    i0 = np.repeat(np.arange(N0), N1)
-    i1 = np.tile(np.arange(N1), N0)
-    j0 = i0[:, None] + offs_a[None, :, 0]  # (N, m)
-    j1 = i1[:, None] + offs_a[None, :, 1]
-    valid = (j0 >= 0) & (j0 < N0) & (j1 >= 0) & (j1 < N1)
-    jc0 = np.clip(j0, 0, N0 - 1)
-    jc1 = np.clip(j1, 0, N1 - 1)
+    coords = np.stack(
+        np.unravel_index(np.arange(N), nodes), axis=0)  # (dim, N)
+    j = coords[:, :, None] + offs_a.T[:, None, :]  # (dim, N, m)
+    valid = np.ones((N, m), bool)
+    for d in range(dim):
+        valid &= (j[d] >= 0) & (j[d] < nodes[d])
+    jc = [np.clip(j[d], 0, nodes[d] - 1) for d in range(dim)]
+    jflat = np.ravel_multi_index(tuple(jc), nodes)  # (N, m)
 
     # local Gram blocks Aloc[n, a, b] = A[(j_a), (j_b)]; the tap offset
-    # (j_b - j_a) is the same for all nodes, so build per (a, b) pair
-    d0 = offs_a[None, :, 0] - offs_a[:, 0, None]  # (m, m) col - row
-    d1 = offs_a[None, :, 1] - offs_a[:, 1, None]
-    inband = (np.abs(d0) <= r) & (np.abs(d1) <= r)
-    ta = np.clip(d0 + r, 0, K - 1)
-    tb = np.clip(d1 + r, 0, K - 1)
+    # (j_b - j_a) is constant per (a, b) pair, so loop pairs, gather rows
+    strides = np.array([K ** (dim - 1 - d) for d in range(dim)])
     Aloc = np.zeros((N, m, m))
-    rows, cols = np.nonzero(inband)
-    # vectorized over nodes, looping the <= m^2 in-band tap pairs
-    for a, b in zip(rows, cols):
-        Aloc[:, a, b] = band[jc0[:, a], jc1[:, a], ta[a, b], tb[a, b]]
+    for a in range(m):
+        for b in range(m):
+            dd = offs_a[b] - offs_a[a]
+            if np.any(np.abs(dd) > r):
+                continue
+            t = int(np.dot(dd + r, strides))
+            Aloc[:, a, b] = band[jflat[:, a], t]
     pair_valid = valid[:, :, None] & valid[:, None, :]
     Aloc *= pair_valid
     diag = np.arange(m)
@@ -101,29 +104,32 @@ def fsai_factors(st: StencilOperator, R: int = None):
 
     RG = max(R, r)
     KG = 2 * RG + 1
+    stridesG = np.array([KG ** (dim - 1 - d) for d in range(dim)])
 
-    bandG = np.zeros((N, KG, KG))
-    for k, (o0, o1) in enumerate(offs):
-        bandG[:, o0 + RG, o1 + RG] = Grow[:, k]
+    bandG = np.zeros((N, KG**dim))
+    for k, o in enumerate(offs):
+        t = int(np.dot(np.asarray(o) + RG, stridesG))
+        bandG[:, t] = Grow[:, k]
 
-    # G^T as a band operator: (G^T u)[j] = sum_i G[i, j] u[i]; the
-    # contribution of G's tap (o0, o1) at row i lands at j = i + o,
-    # i.e. row j of G^T has tap (-o0, -o1) with coefficient G[j + o_neg]
-    bandGT = np.zeros((N, KG, KG))
-    Gg = Grow.reshape(N0, N1, m)
-    for k, (o0, o1) in enumerate(offs):
-        # coefficient at node j is G[(j0 - o0, j1 - o1), k] when in range
-        cfull = Gg[:, :, k]
+    # G^T as a band operator: the contribution of G's tap o at row i
+    # lands at j = i + o, i.e. row j of G^T has tap -o with coefficient
+    # G[j - o] (zero where j - o is out of range)
+    bandGT = np.zeros((N, KG**dim))
+    Gg = Grow.reshape(nodes + (m,))
+    for k, o in enumerate(offs):
+        t = int(np.dot(RG - np.asarray(o), stridesG))
+        cfull = Gg[..., k]
         shifted = np.zeros_like(cfull)
-        a0 = slice(max(0, o0), N0) if o0 >= 0 else slice(0, N0 + o0)
-        b0 = slice(0, N0 - o0) if o0 >= 0 else slice(-o0, N0)
-        a1 = slice(max(0, o1), N1) if o1 >= 0 else slice(0, N1 + o1)
-        b1 = slice(0, N1 - o1) if o1 >= 0 else slice(-o1, N1)
-        shifted[a0, a1] = cfull[b0, b1]
-        bandGT[:, -o0 + RG, -o1 + RG] = shifted.reshape(N)
+        dst = tuple(
+            slice(max(0, o[d]), nodes[d] + min(0, o[d])) for d in range(dim))
+        src = tuple(
+            slice(max(0, -o[d]), nodes[d] + min(0, -o[d]))
+            for d in range(dim))
+        shifted[dst] = cfull[src]
+        bandGT[:, t] = shifted.reshape(N)
 
-    G = StencilOperator(grid, bandG.reshape(grid.nodes + (KG, KG)), RG)
-    GT = StencilOperator(grid, bandGT.reshape(grid.nodes + (KG, KG)), RG)
+    G = StencilOperator(grid, bandG.reshape(nodes + (KG,) * dim), RG)
+    GT = StencilOperator(grid, bandGT.reshape(nodes + (KG,) * dim), RG)
     return G, GT
 
 
@@ -135,3 +141,56 @@ def fsai_preconditioner(st: StencilOperator, R: int = None):
         return GT.apply(G.apply(rr))
 
     return precondition
+
+
+def fsai_cg_solver(st: StencilOperator, max_iter: int, rel_tol: float,
+                   abs_tol: float, apply_fn=None, R: int = None,
+                   resident: bool = True):
+    """The best serial solve callable for an SPD band system.
+
+    On TPU (2D, VMEM-feasible): the whole FSAI-preconditioned CG as ONE
+    VMEM-resident pallas launch (gdm/ops/pallas_resident.py).  Elsewhere:
+    host-level CG (gdm.solvers.cg) with the FSAI preconditioner and
+    ``apply_fn`` (defaults to st.apply) — same deal.II ReductionControl
+    stopping rule either way.
+    """
+    import os
+
+    from .. import solvers
+
+    G, GT = fsai_factors(st, R)
+
+    if (resident and st.grid.dim == 2
+            and os.environ.get("GDM_DISABLE_PALLAS") != "1"):
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = None
+        if platform in ("tpu", "axon"):
+            from ..ops.pallas_resident import make_resident_cg
+
+            res = make_resident_cg(
+                st, G, GT, max_iter=min(max_iter, 40),
+                rel_tol=max(rel_tol, 1e-6), abs_tol=max(abs_tol, 1e-12))
+            if res is not None:
+                solve_r, pad_r, unpad_r, _ = res
+
+                def solve(b):
+                    return unpad_r(solve_r(pad_r(b))).reshape(-1)
+
+                return solve
+
+    if apply_fn is None:
+        apply_fn = st.apply
+
+    def precondition(rr):
+        return GT.apply(G.apply(rr))
+
+    def solve(b):
+        x, _ = solvers.cg(
+            apply_fn, b, precond=precondition, max_iter=max_iter,
+            abs_tol=abs_tol, rel_tol=rel_tol,
+        )
+        return x
+
+    return solve

@@ -208,7 +208,24 @@ class AdvectionProblem:
             from ..dist.cut import sharded_stencil_apply
 
             apply_fn = sharded_stencil_apply(st, self.mesh)
-        elif op.grid.n_nodes * K**op.grid.dim <= 3e7:
+            # cut-window Schwarz: point-Jacobi CG stalls on the
+            # near-singular GP'd cut mass matrix of badly cut p=5
+            # configurations (the reference leans on ILU here,
+            # parameters.h:32)
+            pre = schwarz_jacobi_preconditioner(st, op.w_cut)
+
+            def solve(b):
+                x, _ = solvers.cg(
+                    apply_fn, b, precond=pre,
+                    max_iter=pp.solver_max_iterations,
+                    abs_tol=pp.solver_abs_tolerance,
+                    rel_tol=pp.solver_rel_tolerance,
+                )
+                return x
+
+            return solve
+
+        if op.grid.n_nodes * K**op.grid.dim <= 3e7:
             from ..cut.fastapply import fast_stencil_apply
 
             # TPU: split separable + correction apply (Pallas); the
@@ -216,21 +233,14 @@ class AdvectionProblem:
             apply_fn = fast_stencil_apply(st, op, "mass") or st.apply
         else:
             apply_fn = lambda v: op.mass_apply(v, gm)
-        # cut-window Schwarz: point-Jacobi CG stalls on the near-singular
-        # GP'd cut mass matrix of badly cut p=5 configurations (the
-        # reference leans on ILU here, parameters.h:32)
-        pre = schwarz_jacobi_preconditioner(st, op.w_cut)
+        # FSAI-preconditioned CG (the reference's ILU role,
+        # parameters.h:32); on TPU the whole solve is one VMEM-resident
+        # pallas launch when the band + factors fit
+        from ..cut.fsai import fsai_cg_solver
 
-        def solve(b):
-            x, _ = solvers.cg(
-                apply_fn, b, precond=pre,
-                max_iter=pp.solver_max_iterations,
-                abs_tol=pp.solver_abs_tolerance,
-                rel_tol=pp.solver_rel_tolerance,
-            )
-            return x
-
-        return solve
+        return fsai_cg_solver(
+            st, pp.solver_max_iterations, pp.solver_rel_tolerance,
+            pp.solver_abs_tolerance, apply_fn=apply_fn)
 
     def postprocess(self, t, u, location=INSIDE):
         op = self.op_in if location == INSIDE else self.op_out

@@ -537,17 +537,30 @@ class WaveProblem:
         ga, gn = pp.ghost_parameter_A, pp.nitsche_parameter
         gm = pp.ghost_parameter_M
         with_nitsche = pp.function_interface_dbc is not None
-        mdiag = op.mass_diagonal(gm)
-        sdiag = self._stiffness_diag() - (1.0 * op.inactive)  # avoid double id
 
         def system_apply(v, dt):
             return op.mass_apply(v, gm) + dt * (
                 op.stiffness_matrix_apply(v, ga, gn, with_nitsche)
                 - jnp.where(jnp.asarray(op.inactive), v, 0.0))
 
+        # (M + dt S) in stencil-band form for the FSAI factorization —
+        # the reference ILU-precondition this system (problem.h:210-279)
+        from ..cut.fsai import fsai_cg_solver
+        from ..cut.stencil import StencilOperator, assemble_stencil
+
+        st_m = assemble_stencil(op, "mass", gm)
+        st_s = assemble_stencil(op, "stiff", ga, gn,
+                                with_nitsche=with_nitsche,
+                                inactive_identity=False)
+
         def make_step(dt):
-            diag = jnp.asarray(mdiag + dt * sdiag)
-            pre = solvers.jacobi_preconditioner(diag)
+            st_sys = StencilOperator(
+                self.grid, st_m.band_host + dt * st_s.band_host,
+                st_m.radius)
+            solve = fsai_cg_solver(
+                st_sys, pp.solver_max_iterations,
+                pp.solver_rel_tolerance, pp.solver_abs_tolerance,
+                apply_fn=lambda v: system_apply(v, dt))
 
             @jax.jit
             def step(t_next, u):
@@ -558,13 +571,7 @@ class WaveProblem:
                     nitsche_gamma=gn,
                 )
                 b = dt * b + op.mass_apply(u, gm)
-                x, _ = solvers.cg(
-                    lambda v: system_apply(v, dt), b, precond=pre,
-                    max_iter=pp.solver_max_iterations,
-                    abs_tol=pp.solver_abs_tolerance,
-                    rel_tol=pp.solver_rel_tolerance,
-                )
-                return x
+                return solve(b)
 
             return step
 
