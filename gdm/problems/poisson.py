@@ -59,3 +59,55 @@ def solve(
         return cons.finalize_solution(x), info
 
     return run(b)
+
+
+def solve_deformed(
+    grid: Grid,
+    mapping_fn,
+    rhs_fn,
+    geometry: str = "q1",
+    rel_tol: float = 1e-12,
+    abs_tol: float = 1e-20,
+    max_iter: int = 10000,
+):
+    """Poisson with zero Dirichlet BC on a vertex-deformed grid.
+
+    The reference threads Parameters::mapping_q_cache_function through
+    every wave-app assembly (wave/discretization.h:57-74); this is the
+    uncut counterpart: gdm.deform band operators + Jacobi CG.
+    geometry="q1" matches MappingQCache(1) semantics (2nd-order cap);
+    "exact" (beyond-reference) restores the full GD order.
+    Returns (solution field, info dict).
+    """
+    import jax
+    import numpy as np
+
+    from .. import deform
+
+    assert grid.n_components == 1
+    A = deform.laplace_band(grid, mapping_fn, geometry=geometry)
+    cons = Constraints.zero_boundary(grid)
+    mask = jnp.asarray(cons.full_mask).ravel()
+    b = jnp.where(mask, 0.0,
+                  jnp.asarray(deform.load_vector(grid, mapping_fn, rhs_fn,
+                                                 geometry=geometry)))
+    K = 2 * A.radius + 1
+    center = (K**grid.dim - 1) // 2
+    diag = jnp.where(
+        mask, 1.0,
+        jnp.asarray(A.band_host.reshape(grid.n_nodes, -1)[:, center]))
+    precond = solvers.jacobi_preconditioner(diag)
+
+    def apply_fn(u):
+        return jnp.where(mask, u, A.apply(jnp.where(mask, 0.0, u)))
+
+    @jax.jit
+    def run(b):
+        x, info = solvers.cg(
+            apply_fn, b, precond=precond, max_iter=max_iter,
+            abs_tol=abs_tol, rel_tol=rel_tol,
+        )
+        return x, info
+
+    x, info = run(b)
+    return np.asarray(x).reshape(grid.nodes)[..., None], info

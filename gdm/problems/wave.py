@@ -61,6 +61,13 @@ class WaveParams:
     # when set, every postprocess step writes solution_{i,o}_<counter>.vtu
     # into this directory (reference problem.h:617-657 writes one per step)
     output_vtu_dir: Optional[str] = None
+    # vertex deformation (reference parameters.h mapping_q_cache_function,
+    # threaded through all assembly at discretization.h:57-74).  General
+    # deformed UNCUT operators live in gdm.deform (any dim, q1/exact
+    # geometry); the reference's only user — wave-ev's 1D --align — is
+    # covered by gdm.tools.eigen.  Setting it here together with cut
+    # geometry (a combination no reference preset exercises) raises.
+    mapping_q_cache_function: Optional[Callable] = None
     dim: int = 1
 
 
@@ -180,6 +187,13 @@ class WaveProblem:
         self.mesh = mesh
         self.rows = {0: [], 1: []}  # postprocess rows per location slot
         dim = params.dim
+        if params.mapping_q_cache_function is not None:
+            raise NotImplementedError(
+                "mapping_q_cache_function with cut geometry is not "
+                "supported (no reference preset exercises it); use "
+                "gdm.deform for general deformed uncut operators or "
+                "gdm.tools.eigen.build_ev_operators for the wave-ev "
+                "--align study")
         self.grid = Grid(
             params.fe_degree,
             (params.n_subdivisions_1D,) * dim,

@@ -68,7 +68,7 @@ def write_matrix(M: np.ndarray, file_name: str, binary: bool = True,
 def build_ev_operators(fe_degree: int = 5, n_subdivisions_1D: int = 100,
                        radius: float = 1.0, alpha: float = -1.0,
                        align: bool = False, gp_scale: float = 1.0,
-                       dim: int = 1):
+                       dim: int = 1, mapping_fn=None):
     """Replicates wave-ev's parameter derivation (wave-ev.cc:146-297):
     --alpha places the interface at fraction alpha inside its cell by
     adjusting the radius; --alpha with --align additionally deforms the
@@ -82,6 +82,22 @@ def build_ev_operators(fe_degree: int = 5, n_subdivisions_1D: int = 100,
     (ops1d.assemble_1d(jac=...)), dim=1 like the reference tool
     (wave-ev.cc:306)."""
     h = 1.21 / (n_subdivisions_1D / 2)
+    if mapping_fn is not None:
+        # general mapping_q_cache_function (wave parameters.h): arbitrary
+        # vertex deformation, any dim, uncut spectra — assembled through
+        # the per-cell Q1 chart exactly like the reference's
+        # MappingQCache(1) (gdm/deform.py)
+        assert alpha < 0.0 and not align, "mapping_fn replaces --alpha/--align"
+        from .. import deform
+
+        left = -1.21 / n_subdivisions_1D * n_subdivisions_1D
+        right = -left
+        grid = Grid(fe_degree, (n_subdivisions_1D,) * dim,
+                    (left,) * dim, (right,) * dim)
+        M = densify(deform.mass_band(grid, mapping_fn).apply, grid.n_nodes)
+        S = densify(deform.laplace_band(grid, mapping_fn).apply,
+                    grid.n_nodes)
+        return grid, None, M, S
     if (alpha >= 0.0) and align:
         assert dim == 1, "--align is a 1D study (wave-ev.cc:306)"
         n_rel = int(2 * np.floor(radius / h))

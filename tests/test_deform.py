@@ -1,0 +1,174 @@
+"""General grid deformation (gdm.deform) — the TPU-native counterpart of
+the reference's Parameters::mapping_q_cache_function
+(applications/wave/include/gdm/wave/discretization.h:57-74, the per-cell
+Q1 MappingQCache(1) built from moved vertices; only in-tree user is
+wave-ev's 1D --align, wave-ev.cc:246-270).
+
+Pins: identity parity vs the separable operators, digit-exact agreement
+with the golden-tested 1D jac path of gdm.ops1d, the measured O(h^2)
+geometric-consistency cap of the q1 (reference-semantics) mode, and the
+full O(h^{p+1}) rate of the beyond-reference exact-geometry mode.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gdm.grid import Grid
+from gdm import deform, operators
+from gdm.problems import poisson
+
+IDENT = lambda pts: pts
+
+A_BUMP = 0.06
+
+
+def bump(pts):
+    x, y = pts[:, 0], pts[:, 1]
+    s = A_BUMP * np.sin(2 * np.pi * x) * np.sin(2 * np.pi * y)
+    return np.stack([x + s, y + 0.7 * s], -1)
+
+
+EXACT = lambda m, c: np.sin(np.pi * m[0]) * np.sin(np.pi * m[1])
+RHS = lambda m, c: 2 * np.pi**2 * np.sin(np.pi * m[0]) * np.sin(np.pi * m[1])
+
+
+@pytest.mark.parametrize("cells", [(11,), (8, 9), (5, 6, 7)])
+def test_identity_mapping_matches_separable(cells):
+    dim = len(cells)
+    g = Grid(3, cells, (0.0,) * dim, (1.0, 1.3, 0.9)[:dim])
+    u = np.random.default_rng(0).standard_normal(g.nodes)
+    for sep, band in [
+        (operators.mass(g), deform.mass_band(g, IDENT)),
+        (operators.laplace(g), deform.laplace_band(g, IDENT)),
+    ]:
+        y1 = np.asarray(sep.apply(jnp.asarray(u[..., None]))).ravel()
+        y2 = np.asarray(band.apply(jnp.asarray(u.ravel())))
+        assert np.abs(y1 - y2).max() <= 1e-12 * np.abs(y1).max()
+
+
+def test_1d_matches_jac_path():
+    """The Q1 deformation in 1D is exactly the piecewise-linear width
+    change the wave-ev --align path integrates via per-cell Jacobians
+    (gdm/ops1d.assemble_1d(jac=...), golden-tested in test_wave_ev)."""
+    from gdm.ops1d import assemble_1d
+
+    n, p, alpha = 20, 5, 0.3
+    g = Grid(p, (n,), (0.0,), (1.0,))
+    h = g.h[0]
+    inner = (1.0 - 2 * h * (1 - alpha)) / (1.0 - 2 * h)
+
+    def align_map(pts):
+        x = pts[:, 0]
+        out = np.where(
+            x <= h, x * (1 - alpha),
+            np.where(x >= 1.0 - h, 1.0 - (1.0 - x) * (1 - alpha),
+                     h * (1 - alpha) + (x - h) * inner))
+        return np.stack([out], -1)
+
+    jac = np.full(n, h * inner)
+    jac[0] = jac[-1] = h * (1 - alpha)
+
+    def densify(bop):
+        N = g.n_nodes
+        cols = [np.asarray(bop.apply(jnp.asarray(np.eye(N)[i])))
+                for i in range(N)]
+        return np.stack(cols, axis=1)
+
+    M_ref = assemble_1d(p, n, h, 0, 0, jac=jac).full()
+    S_ref = assemble_1d(p, n, h, 1, 1, jac=jac).full()
+    assert np.abs(densify(deform.mass_band(g, align_map)) - M_ref).max() < 1e-13
+    assert np.abs(densify(deform.laplace_band(g, align_map)) - S_ref).max() < 1e-11
+
+
+def test_per_point_mapping_accepted():
+    """The reference's map is a per-point Point->Point std::function;
+    deform accepts that calling convention too."""
+    g = Grid(3, (6, 5), (0.0, 0.0), (1.0, 1.0))
+    per_point = lambda p: p  # (dim,) -> (dim,)
+    u = np.random.default_rng(1).standard_normal(g.n_nodes)
+    y1 = deform.mass_band(g, IDENT).apply(jnp.asarray(u))
+    y2 = deform.mass_band(g, per_point).apply(jnp.asarray(u))
+    assert np.abs(np.asarray(y1) - np.asarray(y2)).max() < 1e-14
+
+
+def test_deformed_poisson_q1_reference_semantics():
+    """MappingQCache(1) semantics: per-cell bilinear chart => O(h^2)
+    geometric-consistency cap regardless of p (the composed pullback has
+    curvature kinks across faces the nonlocal GD basis cannot absorb).
+    Sharp pins of current behavior (rate ~2)."""
+    errs = {}
+    for n in (8, 16):
+        g = Grid(3, (n, n), (0.0, 0.0), (1.0, 1.0))
+        u, info = poisson.solve_deformed(g, bump, RHS, geometry="q1")
+        errs[n] = deform.l2_error(g, bump, u, EXACT, geometry="q1")
+    assert errs[8] == pytest.approx(2.3058e-03, rel=1e-3)
+    assert errs[16] == pytest.approx(5.4758e-04, rel=1e-3)
+    assert 1.7 < np.log2(errs[8] / errs[16]) < 2.4
+
+
+def test_deformed_poisson_exact_geometry_full_order():
+    """geometry='exact' (beyond-reference) restores O(h^{p+1})."""
+    errs = {}
+    for n in (8, 16, 32):
+        g = Grid(3, (n, n), (0.0, 0.0), (1.0, 1.0))
+        u, info = poisson.solve_deformed(g, bump, RHS, geometry="exact")
+        errs[n] = deform.l2_error(g, bump, u, EXACT, geometry="exact")
+    assert errs[8] == pytest.approx(1.6154e-03, rel=1e-3)
+    assert errs[16] == pytest.approx(9.1348e-05, rel=1e-3)
+    assert errs[32] == pytest.approx(4.9254e-06, rel=1e-3)
+    assert np.log2(errs[8] / errs[16]) > 3.8
+    assert np.log2(errs[16] / errs[32]) > 3.8
+
+
+def test_interpolate_and_projection_on_deformed_grid():
+    """Nodal interpolation at deformed positions + L2 projection via the
+    deformed mass band: projection beats interpolation-measured error
+    class and both converge."""
+    from gdm import solvers
+
+    f = lambda m, c: np.sin(np.pi * m[0]) * np.cos(np.pi * m[1])
+    g = Grid(3, (16, 16), (0.0, 0.0), (1.0, 1.0))
+    ui = deform.interpolate(g, bump, f)
+    ei = deform.l2_error(g, bump, ui, f)
+    M = deform.mass_band(g, bump)
+    b = deform.load_vector(g, bump, f)
+    K = 2 * M.radius + 1
+    diag = jnp.asarray(M.band_host.reshape(g.n_nodes, -1)[:, (K**2 - 1) // 2])
+    x, info = solvers.cg(
+        lambda u: M.apply(u), jnp.asarray(b),
+        precond=solvers.jacobi_preconditioner(diag),
+        max_iter=2000, rel_tol=1e-13, abs_tol=1e-30)
+    ep = deform.l2_error(g, bump, np.asarray(x), f)
+    # both live in the q1-chart composed space (O(h^2) class); the L2
+    # projection must beat nodal interpolation in the L2 norm
+    assert ei == pytest.approx(1.4362e-03, rel=1e-3)
+    assert ep == pytest.approx(4.3459e-04, rel=1e-3)
+    assert ep <= ei
+
+
+def test_wave_ev_general_mapping():
+    """wave-ev operator construction with an arbitrary mapping_fn (the
+    general Parameters::mapping_q_cache_function, beyond the 1D --align
+    special case): identity deformation reproduces the undeformed
+    spectra digit-exactly and a real deformation shifts them."""
+    from gdm.tools import eigen
+    from gdm import operators
+
+    g, _, M, S = eigen.build_ev_operators(
+        fe_degree=3, n_subdivisions_1D=12, dim=1, mapping_fn=lambda p: p)
+    Md = eigen.densify(
+        lambda v: operators.mass(g).apply(v.reshape(g.nodes + (1,))).ravel(),
+        g.n_nodes)
+    assert np.abs(M - Md).max() < 1e-14
+    k_id, _ = eigen.condition_number(M)
+
+    squeeze = lambda pts: np.stack([pts[:, 0] + 0.1 * np.sin(
+        np.pi * pts[:, 0] / 1.21)], -1)
+    _, _, M2, S2 = eigen.build_ev_operators(
+        fe_degree=3, n_subdivisions_1D=12, dim=1, mapping_fn=squeeze)
+    k_def, _ = eigen.condition_number(M2)
+    assert abs(k_def - k_id) > 1e-3  # the deformation is really in there
+    assert np.abs(M2 - M2.T).max() < 1e-13  # symmetric operators
+    assert np.abs(S2 - S2.T).max() < 1e-12
