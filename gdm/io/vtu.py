@@ -16,9 +16,18 @@ from .. import basis
 
 
 class DataOut:
-    def __init__(self, grid: Grid, output_degree: int = 1):
+    def __init__(self, grid: Grid, output_degree: int = 1,
+                 mapping_fn=None, geometry: str = "q1"):
+        """mapping_fn: optional vertex deformation — patch coordinates are
+        written in DEFORMED space, like the reference's DataOut under a
+        MappingQCache (data_out.h:39-98 evaluated with the mapping; used
+        at wave problem.h:618).  geometry="q1" interpolates the moved
+        vertices per cell (MappingQCache(1) semantics); "exact" maps the
+        lattice points through the true function."""
         self.grid = grid
         self.deg = max(1, output_degree)
+        self.mapping_fn = mapping_fn
+        self.geometry = geometry
         self.fields = {}
         self.cell_fields = {}
         self.selection = None  # bool array over flat cells (axis-0-fastest)
@@ -67,6 +76,18 @@ class DataOut:
         lo = np.stack(
             [grid.lower[e] + idx[:, e] * grid.h[e] for e in range(dim)], -1)
         pts = lo[:, None, :] + ref[None] * np.asarray(grid.h)[None, None, :]
+        if self.mapping_fn is not None:
+            from ..deform import (_cell_corners, _map_points, _q1_shapes,
+                                  deformed_node_positions)
+
+            if self.geometry == "exact":
+                pts = _map_points(self.mapping_fn,
+                                  pts.reshape(-1, dim)).reshape(pts.shape)
+            else:
+                verts = deformed_node_positions(grid, self.mapping_fn)
+                corners = _cell_corners(grid, verts, flat_ids)
+                N, _ = _q1_shapes(dim, ref)
+                pts = np.einsum("nvd,lv->nld", corners, N)
         if dim < 3:
             pts = np.concatenate(
                 [pts, np.zeros(pts.shape[:-1] + (3 - dim,))], axis=-1

@@ -172,3 +172,38 @@ def test_wave_ev_general_mapping():
     assert abs(k_def - k_id) > 1e-3  # the deformation is really in there
     assert np.abs(M2 - M2.T).max() < 1e-13  # symmetric operators
     assert np.abs(S2 - S2.T).max() < 1e-12
+
+
+def test_vtu_output_deformed_coordinates(tmp_path):
+    """DataOut under a mapping writes patch points in deformed space
+    (reference data_out.h evaluated with the MappingQCache, wave
+    problem.h:618): identity mapping reproduces the undeformed points,
+    q1 mode lands points on the Q1 chart, exact mode on the true map."""
+    from gdm.io.vtu import DataOut
+
+    g = Grid(3, (6, 6), (0.0, 0.0), (1.0, 1.0))
+    u = deform.interpolate(g, bump, lambda m, c: np.zeros_like(m[0]))
+
+    def patch_points(**kw):
+        d = DataOut(g, output_degree=1, **kw)
+        d.add_data_vector(u, "u")
+        pts, _, _, _ = d._patches()
+        return pts[..., :2]
+
+    p_plain = patch_points()
+    p_ident = patch_points(mapping_fn=IDENT)
+    p_q1 = patch_points(mapping_fn=bump, geometry="q1")
+    p_exact = patch_points(mapping_fn=bump, geometry="exact")
+    np.testing.assert_allclose(p_ident, p_plain, atol=1e-14)
+    # degree-1 patch lattice = the cell corners, where q1 and exact agree
+    np.testing.assert_allclose(p_q1, p_exact, atol=1e-14)
+    moved = np.abs(p_q1 - p_plain).max()
+    assert moved > 0.01  # the deformation really moved the output points
+    # and the exact map of the plain points reproduces p_exact
+    ref = bump(p_plain.reshape(-1, 2)).reshape(p_exact.shape)
+    np.testing.assert_allclose(p_exact, ref, atol=1e-14)
+    # write end-to-end
+    d = DataOut(g, output_degree=2, mapping_fn=bump)
+    d.add_data_vector(u, "u")
+    d.write_vtu(str(tmp_path / "deformed.vtu"))
+    assert (tmp_path / "deformed.vtu").exists()
