@@ -69,15 +69,18 @@ def solve_deformed(
     rel_tol: float = 1e-12,
     abs_tol: float = 1e-20,
     max_iter: int = 10000,
+    precondition: str = "jacobi",
 ):
     """Poisson with zero Dirichlet BC on a vertex-deformed grid.
 
     The reference threads Parameters::mapping_q_cache_function through
     every wave-app assembly (wave/discretization.h:57-74); this is the
-    uncut counterpart: gdm.deform band operators + Jacobi CG.
-    geometry="q1" matches MappingQCache(1) semantics (2nd-order cap);
-    "exact" (beyond-reference) restores the full GD order.
-    Returns (solution field, info dict).
+    uncut counterpart: gdm.deform band operators, Dirichlet-condensed,
+    solved by CG.  geometry="q1" matches MappingQCache(1) semantics
+    (2nd-order cap); "exact" (beyond-reference) restores the full GD
+    order.  precondition: "jacobi" | "mg" (Galerkin geometric V-cycle
+    on the deformed band, ~15 iterations flat in n; needs even cell
+    counts).  Returns (solution field, info dict).
     """
     import jax
     import numpy as np
@@ -87,27 +90,27 @@ def solve_deformed(
     assert grid.n_components == 1
     A = deform.laplace_band(grid, mapping_fn, geometry=geometry)
     cons = Constraints.zero_boundary(grid)
-    mask = jnp.asarray(cons.full_mask).ravel()
-    b = jnp.where(mask, 0.0,
-                  jnp.asarray(deform.load_vector(grid, mapping_fn, rhs_fn,
-                                                 geometry=geometry)))
-    K = 2 * A.radius + 1
-    center = (K**grid.dim - 1) // 2
-    diag = jnp.where(
-        mask, 1.0,
-        jnp.asarray(A.band_host.reshape(grid.n_nodes, -1)[:, center]))
-    precond = solvers.jacobi_preconditioner(diag)
+    mask = np.asarray(cons.full_mask).reshape(-1)
+    Abc = deform.dirichlet_band(A, mask)
+    b = np.asarray(deform.load_vector(grid, mapping_fn, rhs_fn,
+                                      geometry=geometry))
+    b[mask] = 0.0
 
-    def apply_fn(u):
-        return jnp.where(mask, u, A.apply(jnp.where(mask, 0.0, u)))
+    if precondition == "mg":
+        precond = deform.multigrid_preconditioner(Abc)
+    else:
+        K = 2 * A.radius + 1
+        center = (K**grid.dim - 1) // 2
+        diag = jnp.asarray(
+            Abc.band_host.reshape(grid.n_nodes, -1)[:, center])
+        precond = solvers.jacobi_preconditioner(diag)
 
     @jax.jit
     def run(b):
-        x, info = solvers.cg(
-            apply_fn, b, precond=precond, max_iter=max_iter,
+        return solvers.cg(
+            Abc.apply, b, precond=precond, max_iter=max_iter,
             abs_tol=abs_tol, rel_tol=rel_tol,
         )
-        return x, info
 
-    x, info = run(b)
+    x, info = run(jnp.asarray(b))
     return np.asarray(x).reshape(grid.nodes)[..., None], info

@@ -207,3 +207,22 @@ def test_vtu_output_deformed_coordinates(tmp_path):
     d.add_data_vector(u, "u")
     d.write_vtu(str(tmp_path / "deformed.vtu"))
     assert (tmp_path / "deformed.vtu").exists()
+
+
+def test_deformed_poisson_mg_mesh_independent():
+    """Galerkin geometric MG on the Dirichlet-condensed deformed band:
+    CG iterations flat in n (the deformed analog of the reference's AMG
+    solver scalability, problem.h:461-469), same solution as Jacobi."""
+    iters = {}
+    for n in (32, 64):
+        g = Grid(3, (n, n), (0.0, 0.0), (1.0, 1.0))
+        u, info = poisson.solve_deformed(g, bump, RHS, precondition="mg")
+        iters[n] = int(info["iterations"])
+        e = deform.l2_error(g, bump, u, EXACT)
+        if n == 32:
+            # same discrete solution as the jacobi path pin
+            uj, _ = poisson.solve_deformed(g, bump, RHS)
+            np.testing.assert_allclose(np.asarray(u), np.asarray(uj),
+                                       atol=1e-9)
+    assert iters[32] <= 20 and iters[64] <= 20
+    assert abs(iters[64] - iters[32]) <= 3
