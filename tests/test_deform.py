@@ -226,3 +226,35 @@ def test_deformed_poisson_mg_mesh_independent():
                                        atol=1e-9)
     assert iters[32] <= 20 and iters[64] <= 20
     assert abs(iters[64] - iters[32]) <= 3
+
+
+def warp3(pts):
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    s = 0.05 * np.sin(2 * np.pi * x) * np.sin(2 * np.pi * y) * np.sin(
+        2 * np.pi * z)
+    return np.stack([x + s, y - 0.6 * s, z + 0.3 * s], -1)
+
+
+RHS3 = lambda m, c: 3 * np.pi**2 * np.sin(np.pi * m[0]) * np.sin(
+    np.pi * m[1]) * np.sin(np.pi * m[2])
+EXACT3 = lambda m, c: np.sin(np.pi * m[0]) * np.sin(np.pi * m[1]) * np.sin(
+    np.pi * m[2])
+
+
+def test_deformed_poisson_3d():
+    """The whole deformed pipeline (Q1 metric, band assembly, Dirichlet
+    condensation, load vector, error integration) is dim-generic: 3D
+    solve pinned sharp."""
+    g = Grid(3, (8, 8, 8), (0.0,) * 3, (1.0,) * 3)
+    u, info = poisson.solve_deformed(g, warp3, RHS3)
+    e = deform.l2_error(g, warp3, u, EXACT3)
+    assert e == pytest.approx(9.0930e-04, rel=1e-3)
+
+
+@pytest.mark.slow
+def test_deformed_poisson_3d_rate():
+    g = Grid(3, (16, 16, 16), (0.0,) * 3, (1.0,) * 3)
+    u, info = poisson.solve_deformed(g, warp3, RHS3)
+    e = deform.l2_error(g, warp3, u, EXACT3)
+    assert e == pytest.approx(2.2348e-04, rel=1e-3)
+    assert 1.7 < np.log2(9.0930e-04 / e) < 2.4  # q1-chart O(h^2) cap
