@@ -51,6 +51,9 @@ __all__ = [
     "load_vector",
     "l2_error",
     "interpolate",
+    "dirichlet_band",
+    "multigrid_preconditioner",
+    "map_reference_points",
 ]
 
 
@@ -59,11 +62,23 @@ def _map_points(mapping_fn, pts: np.ndarray) -> np.ndarray:
 
     ``mapping_fn`` may be vectorized ((N, dim) -> (N, dim)) like all other
     gdm callbacks, or a per-point map (dim,) -> (dim,) like the
-    reference's Point-valued std::function; both are accepted."""
-    out = np.asarray(mapping_fn(pts), dtype=np.float64)
-    if out.shape != pts.shape:
-        out = np.stack([np.asarray(mapping_fn(p), dtype=np.float64)
-                        for p in pts])
+    reference's Point-valued std::function; both are accepted.  The
+    convention is detected by probing with a SINGLE point (a per-point
+    map fed a (1, dim) chunk indexes rows, so it either raises or returns
+    the wrong shape — it cannot masquerade as vectorized), which also
+    keeps per-point maps with data-dependent Python branches (like the
+    reference's clamp map, wave-ev.cc:252-259) on the scalar path."""
+    try:
+        probe = np.asarray(mapping_fn(pts[:1]), dtype=np.float64)
+        vectorized = probe.shape == pts[:1].shape
+    except Exception:
+        vectorized = False
+    if vectorized:
+        out = np.asarray(mapping_fn(pts), dtype=np.float64)
+        if out.shape == pts.shape:
+            return out
+    out = np.stack([np.asarray(mapping_fn(p), dtype=np.float64).reshape(-1)
+                    for p in pts])
     assert out.shape == pts.shape, (out.shape, pts.shape)
     return out
 
@@ -80,8 +95,10 @@ def deformed_node_positions(grid: Grid, mapping_fn) -> np.ndarray:
 
 
 def _ref_quadrature(dim: int, nq: int):
-    """Tensor Gauss rule on [0,1]^dim: (xi (Q, dim), w (Q,)), axis-0
-    fastest (matching local dof ordering conventions)."""
+    """Tensor Gauss rule on [0,1]^dim: (xi (Q, dim), w (Q,)).  Point
+    order is C-order of the meshgrid (LAST axis fastest); xi and w are
+    only ever consumed together, positionally — do not pair them with
+    axis-0-fastest dof-ordered tables."""
     x1, w1 = gauss(nq)
     grids = np.meshgrid(*([x1] * dim), indexing="ij")
     xi = np.stack([g.reshape(-1) for g in grids], axis=-1)
@@ -197,9 +214,17 @@ def _metric_for(grid: Grid, mapping_fn, geometry: str, verts, ids, xi, N, dN):
     return _cell_metric(grid, corners, N, dN)
 
 
-def _assemble(grid: Grid, mapping_fn, kind: str, nq: int,
-              geometry: str = "q1"):
-    assert grid.n_components == 1, "deformed operators are scalar-field"
+def _quad_chunks(grid: Grid, mapping_fn, geometry: str, nq: int,
+                 cost_factor: int = 1):
+    """Shared skeleton of every deformed integration loop.
+
+    Yields per-chunk (ids, x, Ainv, cats, pts, W): flat cell ids,
+    physical quadrature points (n, Q, dim), inverse Jacobians, per-axis
+    categories, reference points (n, Q, dim), and the combined weight
+    W = gauss_w * |det A| * vol_ref (n, Q).  Operator assembly, load
+    vectors, and error norms all integrate through this one path so the
+    metric/geometry handling cannot desynchronize between them."""
+    assert grid.n_components == 1, "deformed integration is scalar-field"
     dim, p = grid.dim, grid.degree
     m = (p + 1) ** dim
     xi, wq = _ref_quadrature(dim, nq)
@@ -208,17 +233,24 @@ def _assemble(grid: Grid, mapping_fn, kind: str, nq: int,
     verts = (deformed_node_positions(grid, mapping_fn)
              if geometry == "q1" else None)
     vol_ref = float(np.prod(grid.h))
-
-    radius = p  # within-window coupling only (no face terms)
-    K = 2 * radius + 1
-    band = np.zeros((grid.n_nodes, K**dim))
-
-    for ids in _chunks(grid.n_cells, Q * m * (dim + 1)):
+    for ids in _chunks(grid.n_cells, Q * m * cost_factor):
         x, det, Ainv = _metric_for(grid, mapping_fn, geometry, verts, ids,
                                    xi, N, dN)
         cats = cell_axis_categories(grid, ids)
         pts = np.broadcast_to(xi, (len(ids), Q, dim))
         W = wq[None, :] * det * vol_ref
+        yield ids, x, Ainv, cats, pts, W
+
+
+def _assemble(grid: Grid, mapping_fn, kind: str, nq: int,
+              geometry: str = "q1"):
+    dim, p = grid.dim, grid.degree
+    radius = p  # within-window coupling only (no face terms)
+    K = 2 * radius + 1
+    band = np.zeros((grid.n_nodes, K**dim))
+
+    for ids, x, Ainv, cats, pts, W in _quad_chunks(
+            grid, mapping_fn, geometry, nq, cost_factor=dim + 1):
         if kind == "mass":
             V = basis_at_points(grid, cats, pts)
             mats = np.einsum("nqi,nqj,nq->nij", V, V, W)
@@ -260,28 +292,15 @@ def load_vector(grid: Grid, mapping_fn, fn, nq: int = None,
     ``fn(coords_list, component)`` with coords_list a list of dim flat
     arrays of physical quadrature coordinates (same callback contract as
     gdm.functional.load_vector)."""
-    assert grid.n_components == 1
-    nq = nq or grid.degree + 1
-    dim, p = grid.dim, grid.degree
-    m = (p + 1) ** dim
-    xi, wq = _ref_quadrature(dim, nq)
-    Q = len(wq)
-    N, dN = _q1_shapes(dim, xi)
-    verts = (deformed_node_positions(grid, mapping_fn)
-             if geometry == "q1" else None)
-    vol_ref = float(np.prod(grid.h))
+    dim = grid.dim
     b = np.zeros(grid.n_nodes)
-    for ids in _chunks(grid.n_cells, Q * m):
-        x, det, _ = _metric_for(grid, mapping_fn, geometry, verts, ids,
-                                xi, N, dN)
-        cats = cell_axis_categories(grid, ids)
-        pts = np.broadcast_to(xi, (len(ids), Q, dim))
+    for ids, x, _, cats, pts, W in _quad_chunks(
+            grid, mapping_fn, geometry, nq or grid.degree + 1):
         V = basis_at_points(grid, cats, pts)
         fvals = np.asarray(
             fn([x[..., d].ravel() for d in range(dim)], 0), dtype=np.float64
-        ).reshape(len(ids), Q)
-        W = wq[None, :] * det * vol_ref * fvals
-        loc = np.einsum("nqi,nq->ni", V, W)
+        ).reshape(W.shape)
+        loc = np.einsum("nqi,nq->ni", V, W * fvals)
         np.add.at(b, windows_c_order(grid, ids).ravel().astype(np.int64),
                   loc.ravel())
     return b
@@ -294,32 +313,19 @@ def l2_error(grid: Grid, mapping_fn, u, exact_fn, nq: int = None,
     Counterpart of GDM::VectorTools::integrate_difference
     (include/gdm/vector_tools.h:25-86) under the deformed mapping
     (wave problem.h:520-616 passes the mapping into postprocess)."""
-    assert grid.n_components == 1
-    nq = nq or grid.degree + 2
-    dim, p = grid.dim, grid.degree
-    m = (p + 1) ** dim
-    xi, wq = _ref_quadrature(dim, nq)
-    Q = len(wq)
-    N, dN = _q1_shapes(dim, xi)
-    verts = (deformed_node_positions(grid, mapping_fn)
-             if geometry == "q1" else None)
-    vol_ref = float(np.prod(grid.h))
+    dim = grid.dim
     u_flat = np.asarray(u, dtype=np.float64).reshape(-1)
     assert u_flat.size == grid.n_nodes
     acc = 0.0
-    for ids in _chunks(grid.n_cells, Q * m):
-        x, det, _ = _metric_for(grid, mapping_fn, geometry, verts, ids,
-                                xi, N, dN)
-        cats = cell_axis_categories(grid, ids)
-        pts = np.broadcast_to(xi, (len(ids), Q, dim))
+    for ids, x, _, cats, pts, W in _quad_chunks(
+            grid, mapping_fn, geometry, nq or grid.degree + 2):
         V = basis_at_points(grid, cats, pts)
         win = windows_c_order(grid, ids).astype(np.int64)
         uh = np.einsum("nqi,ni->nq", V, u_flat[win])
         ue = np.asarray(
             exact_fn([x[..., d].ravel() for d in range(dim)], 0),
             dtype=np.float64,
-        ).reshape(len(ids), Q)
-        W = wq[None, :] * det * vol_ref
+        ).reshape(W.shape)
         acc += float(np.sum(W * (uh - ue) ** 2))
     return float(np.sqrt(acc))
 
@@ -368,6 +374,30 @@ def multigrid_preconditioner(st: StencilOperator, coarsest: int = 8):
 
     never_cut = lambda mesh: -np.ones_like(np.asarray(mesh[0]))
     return CutMultigrid(st, never_cut, coarsest=coarsest).precondition
+
+
+def map_reference_points(grid: Grid, mapping_fn, flat_ids, ref,
+                         geometry: str = "q1") -> np.ndarray:
+    """Deformed physical positions of per-cell reference points.
+
+    flat_ids: (n,) axis-0-fastest cell ids; ref: (L, dim) points in the
+    unit reference cell.  Returns (n, L, dim).  geometry="q1"
+    interpolates the moved vertices per cell (MappingQCache(1)
+    semantics), "exact" maps the undeformed lattice points through the
+    true function.  Public entry for output paths (gdm/io/vtu.py)."""
+    flat_ids = np.asarray(flat_ids, dtype=np.int64)
+    ref = np.asarray(ref, dtype=np.float64)
+    dim = grid.dim
+    if geometry == "exact":
+        idx = cell_axis_indices(grid, flat_ids).astype(np.float64)
+        h = np.asarray(grid.h)
+        xh = (np.asarray(grid.lower)[None, None, :]
+              + (idx[:, None, :] + ref[None, :, :]) * h)
+        return _map_points(mapping_fn, xh.reshape(-1, dim)).reshape(xh.shape)
+    verts = deformed_node_positions(grid, mapping_fn)
+    corners = _cell_corners(grid, verts, flat_ids)
+    N, _ = _q1_shapes(dim, ref)
+    return np.einsum("nvd,lv->nld", corners, N)
 
 
 def interpolate(grid: Grid, mapping_fn, fn) -> np.ndarray:

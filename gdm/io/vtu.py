@@ -77,17 +77,10 @@ class DataOut:
             [grid.lower[e] + idx[:, e] * grid.h[e] for e in range(dim)], -1)
         pts = lo[:, None, :] + ref[None] * np.asarray(grid.h)[None, None, :]
         if self.mapping_fn is not None:
-            from ..deform import (_cell_corners, _map_points, _q1_shapes,
-                                  deformed_node_positions)
+            from ..deform import map_reference_points
 
-            if self.geometry == "exact":
-                pts = _map_points(self.mapping_fn,
-                                  pts.reshape(-1, dim)).reshape(pts.shape)
-            else:
-                verts = deformed_node_positions(grid, self.mapping_fn)
-                corners = _cell_corners(grid, verts, flat_ids)
-                N, _ = _q1_shapes(dim, ref)
-                pts = np.einsum("nvd,lv->nld", corners, N)
+            pts = map_reference_points(grid, self.mapping_fn, flat_ids,
+                                       ref, self.geometry)
         if dim < 3:
             pts = np.concatenate(
                 [pts, np.zeros(pts.shape[:-1] + (3 - dim,))], axis=-1

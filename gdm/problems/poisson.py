@@ -80,7 +80,9 @@ def solve_deformed(
     (2nd-order cap); "exact" (beyond-reference) restores the full GD
     order.  precondition: "jacobi" | "mg" (Galerkin geometric V-cycle
     on the deformed band, ~15 iterations flat in n; needs even cell
-    counts).  Returns (solution field, info dict).
+    counts) | "none" | a prebuilt preconditioner callable (e.g.
+    deform.multigrid_preconditioner(Abc) amortized across solves).
+    Returns (solution field, info dict).
     """
     import jax
     import numpy as np
@@ -96,14 +98,18 @@ def solve_deformed(
                                       geometry=geometry))
     b[mask] = 0.0
 
-    if precondition == "mg":
+    if callable(precondition):
+        precond = precondition
+    elif precondition == "mg":
         precond = deform.multigrid_preconditioner(Abc)
-    else:
+    elif precondition in ("jacobi", True):
         K = 2 * A.radius + 1
         center = (K**grid.dim - 1) // 2
         diag = jnp.asarray(
             Abc.band_host.reshape(grid.n_nodes, -1)[:, center])
         precond = solvers.jacobi_preconditioner(diag)
+    else:
+        precond = None
 
     @jax.jit
     def run(b):

@@ -258,3 +258,43 @@ def test_deformed_poisson_3d_rate():
     e = deform.l2_error(g, warp3, u, EXACT3)
     assert e == pytest.approx(2.2348e-04, rel=1e-3)
     assert 1.7 < np.log2(9.0930e-04 / e) < 2.4  # q1-chart O(h^2) cap
+
+
+def test_branching_per_point_map():
+    """A per-point map with data-dependent Python branches — the exact
+    shape of the reference's clamp map (wave-ev.cc:252-259) — must take
+    the scalar fallback path, and per-point/vectorized forms of the
+    same map must produce identical operators."""
+    g = Grid(3, (8, 8), (0.0, 0.0), (1.0, 1.0))
+
+    def clamp_pp(p):  # (dim,) -> (dim,); crashes if fed an (N, dim) chunk
+        x, y = float(p[0]), float(p[1])
+        if x > 0.75:
+            x = 0.75 + 0.5 * (x - 0.75)
+        return np.array([x, y])
+
+    def clamp_vec(pts):
+        x, y = pts[:, 0].copy(), pts[:, 1]
+        sel = x > 0.75
+        x[sel] = 0.75 + 0.5 * (x[sel] - 0.75)
+        return np.stack([x, y], -1)
+
+    b1 = deform.mass_band(g, clamp_pp).band_host
+    b2 = deform.mass_band(g, clamp_vec).band_host
+    np.testing.assert_allclose(b1, b2, atol=1e-15)
+
+
+def test_solve_deformed_none_and_callable_precondition():
+    g = Grid(3, (16, 16), (0.0, 0.0), (1.0, 1.0))
+    u_j, info_j = poisson.solve_deformed(g, bump, RHS)
+    u_n, info_n = poisson.solve_deformed(g, bump, RHS, precondition="none")
+    assert int(info_n["iterations"]) != int(info_j["iterations"])
+    np.testing.assert_allclose(np.asarray(u_n), np.asarray(u_j), atol=1e-9)
+    # prebuilt callable is honored (amortized MG)
+    A = deform.laplace_band(g, bump)
+    from gdm.constraints import Constraints
+    mask = np.asarray(Constraints.zero_boundary(g).full_mask).reshape(-1)
+    pre = deform.multigrid_preconditioner(deform.dirichlet_band(A, mask))
+    u_c, info_c = poisson.solve_deformed(g, bump, RHS, precondition=pre)
+    assert int(info_c["iterations"]) <= 20
+    np.testing.assert_allclose(np.asarray(u_c), np.asarray(u_j), atol=1e-9)
