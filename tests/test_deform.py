@@ -298,3 +298,22 @@ def test_solve_deformed_none_and_callable_precondition():
     u_c, info_c = poisson.solve_deformed(g, bump, RHS, precondition=pre)
     assert int(info_c["iterations"]) <= 20
     np.testing.assert_allclose(np.asarray(u_c), np.asarray(u_j), atol=1e-9)
+
+
+def test_deformed_band_sharded_apply():
+    """Deformed operators are StencilOperators, so they ride the same
+    domain-decomposed ppermute-halo apply as the cut solvers
+    (gdm/dist/cut.py): exact serial parity on an 8-device mesh."""
+    from gdm.dist.mesh import device_mesh
+    from gdm.dist.cut import sharded_stencil_apply
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    g = Grid(3, (15, 15), (0.0, 0.0), (1.0, 1.0))  # 16 nodes/axis
+    st = deform.laplace_band(g, bump)
+    mesh = device_mesh(8)
+    apply_sharded = sharded_stencil_apply(st, mesh)
+    u = jnp.asarray(np.random.default_rng(2).standard_normal(g.n_nodes))
+    y0 = np.asarray(st.apply(u))
+    y1 = np.asarray(apply_sharded(u))
+    np.testing.assert_allclose(y1, y0, rtol=1e-13, atol=1e-13)
