@@ -317,3 +317,26 @@ def test_deformed_band_sharded_apply():
     y0 = np.asarray(st.apply(u))
     y1 = np.asarray(apply_sharded(u))
     np.testing.assert_allclose(y1, y0, rtol=1e-13, atol=1e-13)
+
+
+def test_band_symmetry_and_spd():
+    """Property pins: the deformed mass/stiffness bands are symmetric
+    operators (band[i, off] == band[i+off, -off]) and SPD after
+    Dirichlet condensation — any future assembly change that breaks
+    adjoint consistency fails here."""
+    from gdm.constraints import Constraints
+
+    g = Grid(3, (7, 6), (0.0, 0.0), (1.0, 1.0))
+    N = g.n_nodes
+    for st in (deform.mass_band(g, bump),
+               deform.laplace_band(g, bump, geometry="exact")):
+        A = np.stack([np.asarray(st.apply(jnp.asarray(np.eye(N)[i])))
+                      for i in range(N)], axis=1)
+        assert np.abs(A - A.T).max() < 1e-12 * np.abs(A).max()
+    mask = np.asarray(Constraints.zero_boundary(g).full_mask).reshape(-1)
+    Abc = deform.dirichlet_band(deform.laplace_band(g, bump), mask)
+    Ad = np.stack([np.asarray(Abc.apply(jnp.asarray(np.eye(N)[i])))
+                   for i in range(N)], axis=1)
+    assert np.abs(Ad - Ad.T).max() < 1e-12 * np.abs(Ad).max()
+    evs = np.linalg.eigvalsh(Ad)
+    assert evs.min() > 0.0
