@@ -252,9 +252,13 @@ def test_deformed_poisson_3d():
 
 
 @pytest.mark.slow
-def test_deformed_poisson_3d_rate():
+def test_deformed_poisson_3d_rate_mg():
+    """16^3 deformed solve through the MG path: same error as jacobi's
+    pin, mesh-independent iteration count (11 here, 12 at 32^3 measured
+    — vs jacobi's 58 growing)."""
     g = Grid(3, (16, 16, 16), (0.0,) * 3, (1.0,) * 3)
-    u, info = poisson.solve_deformed(g, warp3, RHS3)
+    u, info = poisson.solve_deformed(g, warp3, RHS3, precondition="mg")
+    assert int(info["iterations"]) <= 14
     e = deform.l2_error(g, warp3, u, EXACT3)
     assert e == pytest.approx(2.2348e-04, rel=1e-3)
     assert 1.7 < np.log2(9.0930e-04 / e) < 2.4  # q1-chart O(h^2) cap
