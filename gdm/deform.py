@@ -367,9 +367,10 @@ def multigrid_preconditioner(st: StencilOperator, coarsest: int = 8):
     e.g. a Dirichlet-condensed deformed stiffness: the cut-system
     V-cycle (gdm/cut/multigrid.py) degenerates to plain geometric MG
     under a never-cut level set (no Schwarz windows, Jacobi smoothing,
-    Galerkin P^T A P hierarchy).  Requires even cell counts; ~15 CG
-    iterations flat in n (measured 32^2..128^2, tests/test_deform.py).
-    Returns a callable for solvers.cg(precond=...)."""
+    Galerkin P^T A P hierarchy).  Requires even cell counts; CG
+    iterations flat in n (measured 14/15/16 at 32^2/64^2/128^2 and
+    11/12 at 16^3/32^3, tests/test_deform.py).  Returns a callable for
+    solvers.cg(precond=...)."""
     from .cut.multigrid import CutMultigrid
 
     never_cut = lambda mesh: -np.ones_like(np.asarray(mesh[0]))
