@@ -2231,9 +2231,12 @@ def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False,
     """Auto-select the best 2D/3D kernel (v5e-measured, honest chained
     timing — see bench.timed_chain):
 
-    * 2D: cross-tile-pipelined mxu3p with tile_r=96 —
-      38.7/34.0/~29 GDoF/s at 1024^2/2048^2/4096^2 p=3 and 24.7 at
-      1024^2 p=5 (vs 31.6/30.9 unpipelined mxu3, 28.9 best pure-VPU,
+    * 2D: cross-tile-pipelined mxu3p with a degree-dependent tile
+      height (tile_r=96 for p=3, 128 for p=5; swept on v5e — the taller
+      tile amortizes the K=11 roll loop: 26.5/24.8 vs 25.2/23.6 GDoF/s
+      at 1024^2/2048^2 p=5, while p=3 prefers 96: 37.4 vs 37.3) —
+      39.1/33.9/29.7 GDoF/s at 1024^2/2048^2/4096^2 p=3
+      (vs 31.6/30.9 unpipelined mxu3, 28.9 best pure-VPU,
       ~20-23 for every roll-free MXU-column design — the skinny
       (.,256)@(256,256) dots run at 50-107 Tflop/s, see
       benchmarks/mxu_micro.py).  Issuing tile i-1's matmuls before tile
@@ -2249,7 +2252,17 @@ def best_padded_laplace(grid: Grid, dtype=jnp.float32, interpret: bool = False,
             return make_padded_laplace3_mxu(grid, dtype, interpret=interpret,
                                             pipelined=True)
         return make_padded_laplace3(grid, dtype, interpret=interpret)
-    return make_padded_laplace2(grid, dtype, tile_r=96,
+    if grid.degree <= 3:
+        tile_r = 96
+    else:
+        # p >= 5: the taller tile amortizes the K=2p+1 roll loop, but
+        # only if it doesn't inflate the row padding Rp - N0 (at
+        # N0 = 1025 a 128 tile wastes 127 rows and LOSES ~6%); pick the
+        # least-waste candidate, tie-break taller.
+        N0 = grid.nodes[0]
+        tile_r = min((96, 128, 160),
+                     key=lambda t: ((-(-N0 // t)) * t - N0, -t))
+    return make_padded_laplace2(grid, dtype, tile_r=tile_r,
                                 rows=rows or "mxu3p", interpret=interpret)
 
 
