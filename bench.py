@@ -38,6 +38,15 @@ HBM_BYTES_PER_S = 819e9  # TPU v5e
 IDEAL_BYTES_PER_DOF = 8  # read u (f32) + write y (f32)
 TARGET_FRACTION = 0.70
 
+# Measured compute ceiling for this operator shape on v5e (BASELINE.md
+# "The measured ceiling (round 3)"): the stripped mxu3p column stage
+# alone costs 20.3 us/MDoF at 1024^2 p=3 (benchmarks/mxu_micro.py
+# roll_ceiling), so no composition that keeps the 1D transforms exact
+# exceeds ~49.3 GDoF/s — the operator is VPU-pass-throughput bound, not
+# HBM bound, and vs_baseline's 71.7 GDoF/s bandwidth target is
+# unphysical here.  vs_measured_ceiling reports value / this bound.
+MEASURED_CEILING_DOF_PER_S = 1e6 / 20.3e-6
+
 
 def timed_chain(apply_fn, u, dt_hint=None, trials=4, target_s=0.25):
     """Differential host-synced timing of one application of apply_fn.
@@ -151,16 +160,19 @@ def main():
 
     cg_iters = int(cg_info(b))
 
-    # geometric-multigrid-preconditioned CG to ~1e-6 at 1024^2
+    # geometric-multigrid-preconditioned CG at 1024^2, through the SAME
+    # dispatch gdm.problems.poisson.solve(precondition="mg") takes
+    # (ops.fast.best_field_laplace: fused Pallas applies on TPU for both
+    # the CG operator and every large multigrid level)
     from gdm.constraints import Constraints
     from gdm.functional import load_vector
     from gdm.multigrid import PoissonMultigrid
-    from gdm import operators as _ops
+    from gdm.ops.fast import best_field_laplace
 
-    A = _ops.laplace(grid)
     cons = Constraints.zero_boundary(grid)
+    base_apply, mg_rode_pallas = best_field_laplace(grid)
     mg_apply = cons.constrain_operator(
-        lambda u: A.apply(u.astype(jnp.float32)))
+        lambda u: base_apply(u.astype(jnp.float32)))
     mg = PoissonMultigrid(grid)
     bb = cons.constrain_rhs(
         load_vector(grid, lambda m, c: np.ones_like(m[0]))).astype(
@@ -220,6 +232,7 @@ def main():
         "value": best_1024,
         "unit": "DoF/s",
         "vs_baseline": best_1024 / target,
+        "vs_measured_ceiling": best_1024 / MEASURED_CEILING_DOF_PER_S,
         "extra": {
             "matvec_2048_dof_per_s": best_2048,
             "matvec_4096_dof_per_s": best_4096,
@@ -233,6 +246,7 @@ def main():
             "cg100_1024_s": cg_time,
             "cg_iterations": cg_iters,
             "mg_cg_solve_1e3_1024_s": mg_time,
+            "mg_cg_rode_pallas": mg_rode_pallas,
             "mg_cg_iterations": mg_iters,
             "mg_cg_rel_residual": mg_rel_res,
             "mg_cg_f32_floor_50it": mg_floor,

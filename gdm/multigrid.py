@@ -78,17 +78,26 @@ class PoissonMultigrid:
     """Symmetric V-cycle preconditioner for the zero-BC GD Laplacian."""
 
     def __init__(self, grid: Grid, n_smooth: int = 2, omega: float = 0.6,
-                 coarsest: int = 8):
+                 coarsest: int = 8, use_pallas: str = None):
         assert grid.n_components == 1
+        from .ops.fast import best_field_laplace
+
         self.levels = []
         g = grid
         while True:
             A = operators.laplace(g)
             cons = Constraints.zero_boundary(g)
             diag = np.where(cons.full_mask, 1.0, A.diagonal())
+            # Large levels ride the fused Pallas kernels on TPU (the
+            # smoother/residual applies dominate V-cycle cost and the
+            # preconditioner only needs a FIXED linear operator, so the
+            # bf16x3 accuracy class is harmless); small levels and every
+            # non-TPU platform keep the exact XLA apply.
+            base_apply, _ = best_field_laplace(g, use_pallas)
             self.levels.append({
                 "grid": g,
-                "apply": cons.constrain_operator(A.apply),
+                "apply": cons.constrain_operator(base_apply),
+                "apply_exact": cons.constrain_operator(A.apply),
                 "mask": jnp.asarray(cons.full_mask),
                 "inv_diag": jnp.asarray(1.0 / diag),
                 "mid": [_gd_mid_table(g, d) for d in range(g.dim)],
@@ -107,7 +116,7 @@ class PoissonMultigrid:
         gc = lvl["grid"]
         n = gc.n_dofs
         eye = jnp.eye(n).reshape((n,) + gc.field_shape)
-        Ad = np.array(jax.vmap(lvl["apply"])(eye).reshape(n, n)).T
+        Ad = np.array(jax.vmap(lvl["apply_exact"])(eye).reshape(n, n)).T
         mask = np.asarray(lvl["mask"]).reshape(-1)
         Ad[mask, :] = 0.0
         Ad[:, mask] = 0.0

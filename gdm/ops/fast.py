@@ -76,6 +76,56 @@ def laplace_apply_fn(grid: Grid, dtype=jnp.float32, use_pallas: str = None):
     return apply
 
 
+def pallas_field_laplace_fn(grid: Grid, dtype=jnp.float32):
+    """Fused Pallas Laplace apply on FIELD-shaped arrays (grid.nodes +
+    (1,) trailing component axis), or None when Pallas TPU is
+    unavailable.  Accuracy class: mxu3p bf16x3 rows, ~1e-6 relative
+    (see laplace_apply_fn docstring)."""
+    if grid.dim not in (2, 3) or grid.n_components != 1:
+        return None
+    from .pallas_stencil2 import laplace_2d_pallas2_fn
+
+    fn = laplace_2d_pallas2_fn(grid, dtype)
+    if fn is None:
+        return None
+
+    def apply(u):
+        return fn(u[..., 0])[..., None]
+
+    return apply
+
+
+def best_field_laplace(grid: Grid, use_pallas: str = None,
+                       min_dofs: int = 200_000):
+    """(field-shaped Laplace apply, rode_pallas: bool) — the PRODUCT
+    dispatch for the uncut Poisson/multigrid solves (the role of the
+    reference's assembled Trilinos operator feeding its AMG CG,
+    applications/wave/include/gdm/wave/problem.h:457-502).
+
+    On TPU with >= min_dofs nodes this returns the fused Pallas kernel
+    (single HBM read+write per matvec, bf16x3 rows ~1e-6 relative);
+    everywhere else — CPU golden runs, small multigrid levels where the
+    128-lane padding overhead dominates — the exact SeparableOperator
+    apply in the caller's dtype.  use_pallas: "auto" (default; honors
+    GDM_DISABLE_PALLAS=1) | "never" | "force".
+    """
+    import os
+
+    if use_pallas is None:
+        use_pallas = ("never" if os.environ.get("GDM_DISABLE_PALLAS") == "1"
+                      else "auto")
+    if use_pallas in ("auto", "force") and (
+            use_pallas == "force" or grid.n_dofs >= min_dofs):
+        fn = pallas_field_laplace_fn(grid)
+        if fn is not None:
+            return fn, True
+        if use_pallas == "force":
+            raise RuntimeError("Pallas TPU Laplace kernel unavailable")
+    from .. import operators
+
+    return operators.laplace(grid).apply, False
+
+
 def use_mxu_3d(grid: Grid) -> bool:
     """Dense-factor MXU formulation pays off when the per-axis node
     count is small enough that 2N flops/dof on the MXU beats ~9(2p+1)

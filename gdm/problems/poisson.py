@@ -22,6 +22,7 @@ def solve(
     abs_tol: float = 1e-20,
     max_iter: int = 10000,
     precondition: str = "jacobi",
+    use_pallas: str = None,
 ):
     """Solve -Laplace(u) = f, u = 0 on the boundary.
 
@@ -29,13 +30,21 @@ def solve(
     independent ~7 CG iterations; requires even cell counts) | "none" |
     a prebuilt preconditioner callable (e.g. PoissonMultigrid(grid)
     .precondition) to amortize setup across solves.
+
+    On TPU the operator apply rides the fused Pallas kernels
+    (ops.fast.best_field_laplace; bf16x3 rows, ~1e-6 relative — pass
+    use_pallas="never" or set GDM_DISABLE_PALLAS=1 for the f32/f64-exact
+    XLA path, which is also what every non-TPU platform gets).
     Returns (solution field, info dict).
     """
     import jax
 
+    from ..ops.fast import best_field_laplace
+
     A = operators.laplace(grid)
     cons = Constraints.zero_boundary(grid)
-    apply_fn = cons.constrain_operator(A.apply)
+    base_apply, _ = best_field_laplace(grid, use_pallas)
+    apply_fn = cons.constrain_operator(base_apply)
     b = cons.constrain_rhs(load_vector(grid, rhs_fn))
     diag = jnp.where(jnp.asarray(cons.full_mask), 1.0, jnp.asarray(A.diagonal()))
 
@@ -44,7 +53,7 @@ def solve(
     elif precondition == "mg":
         from ..multigrid import PoissonMultigrid
 
-        precond = PoissonMultigrid(grid).precondition
+        precond = PoissonMultigrid(grid, use_pallas=use_pallas).precondition
     elif precondition in ("jacobi", True):
         precond = solvers.jacobi_preconditioner(diag)
     else:
