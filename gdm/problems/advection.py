@@ -392,9 +392,6 @@ class AdvectionProblem:
         from .. import checkpoint
 
         pp = self.params
-        if pp.strong_bc:
-            raise NotImplementedError(
-                "strong_bc runs use run() (host-driven loop)")
         delta_t = self.dx * pp.cfl / pp.max_val
         time = timestepping.DiscreteTime(pp.start_t, pp.end_t, delta_t)
         ts, dts = [], []
@@ -486,21 +483,44 @@ class AdvectionProblem:
 
         msolve = self._mass_solver(self.op_in)
         adv = self.adv_in
-        sp = jnp.asarray(adv.ops.surf_phys_q)
-        bp = jnp.asarray(adv.ops.b_phys)
+        if pp.strong_bc:
+            # strong-Dirichlet step inside the scan: identical masked
+            # updates to _run_single_strong (per-stage nodal constraint
+            # distribution + stage-derivative zeroing,
+            # prototypes/advection_02_gdm.cc:207-216,345-358 — the
+            # reference's time loop is uniform over BC treatment)
+            bidx, bpts = self._bdry_nodes()
+            bpts = jnp.asarray(bpts)
 
-        def f(t, y):
-            bs, bb, u = y
-            dbs, dbb = self._bc_der(adv, t)
-            r = adv.compute_rhs(u, bs, bb, pp.ghost_parameter_A)
-            return (dbs, dbb, msolve(r))
+            def gvals(t):
+                return jnp.asarray(pp.exact_solution(bpts, t))
 
-        def body(u, tdt):
-            t, dt = tdt
-            bs = jnp.asarray(pp.exact_solution(sp, t))
-            bb = jnp.asarray(pp.exact_solution(bp, t))
-            _, _, u = timestepping.rk_step(f, t, dt, (bs, bb, u))
-            return u, errs(u, t + dt, self.op_in, adv)
+            def f_strong(t, u):
+                u0 = u.at[bidx].set(gvals(t))
+                k = msolve(adv.compute_rhs_strong(u0, pp.ghost_parameter_A))
+                return k.at[bidx].set(0.0)
+
+            def body(u, tdt):
+                t, dt = tdt
+                u = timestepping.rk_step(f_strong, t, dt, u) \
+                    .at[bidx].set(gvals(t + dt))
+                return u, errs(u, t + dt, self.op_in, adv)
+        else:
+            sp = jnp.asarray(adv.ops.surf_phys_q)
+            bp = jnp.asarray(adv.ops.b_phys)
+
+            def f(t, y):
+                bs, bb, u = y
+                dbs, dbb = self._bc_der(adv, t)
+                r = adv.compute_rhs(u, bs, bb, pp.ghost_parameter_A)
+                return (dbs, dbb, msolve(r))
+
+            def body(u, tdt):
+                t, dt = tdt
+                bs = jnp.asarray(pp.exact_solution(sp, t))
+                bb = jnp.asarray(pp.exact_solution(bp, t))
+                _, _, u = timestepping.rk_step(f, t, dt, (bs, bb, u))
+                return u, errs(u, t + dt, self.op_in, adv)
 
         @jax.jit
         def traj_chunk(u, tc, dc):
