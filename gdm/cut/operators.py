@@ -106,14 +106,38 @@ def _pad2(arrs, fill=0.0):
 
 
 class CutOperators:
-    """All device data + applies for one location (INSIDE or OUTSIDE)."""
+    """All device data + applies for one location (INSIDE or OUTSIDE).
 
-    def __init__(self, geo: CutGeometry, location: int = INSIDE, nq: int = None):
+    ``mapping_fn``/``geometry``: optional grid deformation (the
+    reference's ``mapping_q_cache_function``).  The CUT — classification
+    and quadrature — is generated in UNDEFORMED coordinates exactly as
+    the reference does (discretization.h:92-97 interpolates the level
+    set with the default mapping; the deformed MappingQCache only enters
+    the NonMatching::FEValues metric, mass.h:126-137, stiffness.h); the
+    deformation re-metrics every quadrature table here: JxW pick up
+    |det dx/dx̂|, gradients are pulled back through A^{-T}, surface/face
+    measures and normals follow Nanson's formula, and physical points
+    (for BC/RHS/exact callbacks) are mapped.  h-scalings (Nitsche
+    gamma/h, ghost-penalty h^k) stay reference h — deal.II's
+    minimum_vertex_distance reads the UNDEFORMED triangulation vertices
+    (MappingQCache does not move them).  geometry="q1" matches
+    MappingQCache(1); "exact" (beyond-reference) samples the true map.
+    """
+
+    def __init__(self, geo: CutGeometry, location: int = INSIDE, nq: int = None,
+                 mapping_fn=None, geometry: str = "q1"):
         grid = geo.grid
         assert grid.n_components == 1, "cut path supports scalar fields"
         self.grid = grid
         self.geo = geo
         self.location = location
+        self.mapping_fn = mapping_fn
+        self.geometry = geometry
+        self._verts = None
+        if mapping_fn is not None and geometry == "q1":
+            from .. import deform
+
+            self._verts = deform.deformed_node_positions(grid, mapping_fn)
         p = grid.degree
         dim = grid.dim
         self.nq = nq if nq is not None else p + 1
@@ -152,6 +176,32 @@ class CutOperators:
             ]
         )  # (ncat^dim, Q, m)
         self.full_phys_q = self._phys_points(full_ids, self.ref_q)
+        self.w_q_cell = None  # per-cell full-cell JxW (deformed runs only)
+        if mapping_fn is not None and len(full_ids):
+            # deformed metric varies inside each cell, so the per-category
+            # Kronecker local matrices no longer apply: build PER-CELL
+            # matrices (cat_full degenerates to the identity lookup) and
+            # per-cell JxW/physical points.  Memory is n_full * m^2 —
+            # sized for the preset-scale deformed runs, like the
+            # reference's per-cell FEValues assembly.
+            from .. import deform
+
+            n_full = len(full_ids)
+            pts_full = np.broadcast_to(
+                self.ref_q, (n_full,) + self.ref_q.shape)
+            Gf = gradients_at_points(grid, cats_full, pts_full)
+            x, det, Ainv = deform.metric_at_cell_points(
+                grid, mapping_fn, geometry, self._verts,
+                full_ids.astype(np.int64), pts_full)
+            W = self.w_q[None, :] * det
+            self.V_full_cat = self.V_full_cat[self.cat_full]  # (n, Q, m)
+            Gx = np.einsum("nqed,nqei->nqdi", Ainv, Gf)
+            self.A_mass = np.einsum(
+                "nqi,nqj,nq->nij", self.V_full_cat, self.V_full_cat, W)
+            self.A_stiff = np.einsum("nqdi,nqdj,nq->nij", Gx, Gx, W)
+            self.cat_full = np.arange(n_full, dtype=np.int64)
+            self.full_phys_q = x
+            self.w_q_cell = W
 
         # ---- intersected cells -------------------------------------------
         cut_ids = geo.cut_cells
@@ -208,6 +258,29 @@ class CutOperators:
         self.V_surf = basis_at_points(grid, cats_cut, surf_pts)
         self.G_surf = gradients_at_points(grid, cats_cut, surf_pts)
         self.surf_phys_q = self._phys_points(cut_ids, surf_pts, per_cell=True)
+
+        if mapping_fn is not None:
+            # re-metric the cut volume + interface tables: JxW *= det,
+            # grad_x = A^{-T} grad_x̂, and Nanson's formula for the
+            # surface measure/normal (padded points carry zero weights
+            # and zero normals, so they stay inert)
+            from .. import deform
+
+            ids64 = cut_ids.astype(np.int64)
+            x, det, Ainv = deform.metric_at_cell_points(
+                grid, mapping_fn, geometry, self._verts, ids64, vol_pts)
+            self.vol_w = self.vol_w * det
+            self.G_cut = np.einsum("nqed,nqei->nqdi", Ainv, self.G_cut)
+            self.cut_phys_q = x
+            xs, dets, Ainvs = deform.metric_at_cell_points(
+                grid, mapping_fn, geometry, self._verts, ids64, surf_pts)
+            v = np.einsum("nqed,nqe->nqd", Ainvs, self.surf_n)
+            s = np.linalg.norm(v, axis=-1)
+            s_safe = np.where(s == 0.0, 1.0, s)
+            self.surf_w = self.surf_w * dets * s
+            self.surf_n = v / s_safe[..., None]
+            self.G_surf = np.einsum("nqed,nqei->nqdi", Ainvs, self.G_surf)
+            self.surf_phys_q = xs
 
         # ---- ghost-penalty faces -----------------------------------------
         faces = geo.ghost_penalty_faces(location)
@@ -270,9 +343,36 @@ class CutOperators:
             for i, d in enumerate(tang):
                 pts_m[:, d] = tp[:, i]
                 pts_p[:, d] = tp[:, i]
-            dmask = tuple(1 if e == axis else 0 for e in range(dim))
-            Gm = basis_at_points(grid, cat_m, pts_m[None], dmask)[0]  # (Qf, m)
-            Gp = basis_at_points(grid, cat_p, pts_p[None], dmask)[0]
+            if self.mapping_fn is not None:
+                # deformed face: per-point normal derivative through each
+                # cell's own chart (their Jacobians agree only
+                # tangentially on the face), face measure/normal by
+                # Nanson's formula from the minus-side chart (the area
+                # vector depends only on the shared face restriction of
+                # the map, so it is side-independent)
+                from .. import deform
+
+                Gmf = gradients_at_points(grid, cat_m, pts_m[None])[0]
+                Gpf = gradients_at_points(grid, cat_p, pts_p[None])[0]
+                _, det_m, Ainv_m = deform.metric_at_cell_points(
+                    grid, self.mapping_fn, self.geometry, self._verts,
+                    np.array([cm], np.int64), pts_m[None])
+                _, _, Ainv_p = deform.metric_at_cell_points(
+                    grid, self.mapping_fn, self.geometry, self._verts,
+                    np.array([cp], np.int64), pts_p[None])
+                det_m, Ainv_m, Ainv_p = det_m[0], Ainv_m[0], Ainv_p[0]
+                nhat = np.zeros(dim)
+                nhat[axis] = 1.0
+                v = np.einsum("qed,e->qd", Ainv_m, nhat)
+                s = np.linalg.norm(v, axis=-1)
+                n_q = v / s[:, None]
+                Gm = np.einsum("qed,qei,qd->qi", Ainv_m, Gmf, n_q)
+                Gp = np.einsum("qed,qei,qd->qi", Ainv_p, Gpf, n_q)
+                tw = tw * det_m * s
+            else:
+                dmask = tuple(1 if e == axis else 0 for e in range(dim))
+                Gm = basis_at_points(grid, cat_m, pts_m[None], dmask)[0]
+                Gp = basis_at_points(grid, cat_p, pts_p[None], dmask)[0]
             J = np.concatenate([Gm, -Gp], axis=-1)  # (Qf, 2m) = n.[grad]
             Js.append(J)
             Ws.append(tw)
@@ -369,7 +469,22 @@ class CutOperators:
                     normal[d] = -1.0 if side == 0 else 1.0
                     phys = self._phys_points(np.array([flat]), pts_ref[None],
                                              per_cell=True)[0]
-                    items.append((flat, V, G, w, normal, phys))
+                    if self.mapping_fn is not None:
+                        from .. import deform
+
+                        x, det, Ainv = deform.metric_at_cell_points(
+                            grid, self.mapping_fn, self.geometry,
+                            self._verts, np.array([flat], np.int64),
+                            pts_ref[None])
+                        det, Ainv, phys = det[0], Ainv[0], x[0]
+                        v = np.einsum("qed,e->qd", Ainv, normal)
+                        s = np.linalg.norm(v, axis=-1)
+                        normal_q = v / s[:, None]
+                        G = np.einsum("qed,qei->qdi", Ainv, G)
+                        w = w * det * s
+                    else:
+                        normal_q = np.broadcast_to(normal, (len(w), dim))
+                    items.append((flat, V, G, w, normal, phys, normal_q))
         self.bdry = items
         if items:
             V, _ = _pad2([it[1] for it in items])
@@ -378,6 +493,7 @@ class CutOperators:
             phys, _ = _pad2([it[5] for it in items])
             self.b_V, self.b_G, self.b_w, self.b_phys = V, G, w, phys
             self.b_normal = np.stack([it[4] for it in items])
+            self.b_normal_q, _ = _pad2([it[6] for it in items])
             self.b_win = windows_c_order(
                 grid, np.array([it[0] for it in items], dtype=np.int64)
             )
@@ -387,6 +503,7 @@ class CutOperators:
             self.b_w = np.zeros((0, 1))
             self.b_phys = np.zeros((0, 1, dim))
             self.b_normal = np.zeros((0, dim))
+            self.b_normal_q = np.zeros((0, 1, dim))
             self.b_win = np.zeros((0, m), dtype=np.int32)
 
     # ------------------------------------------------------------------
@@ -490,8 +607,15 @@ class CutOperators:
         if rhs_fn is not None:
             if len(self.full_ids):
                 f = rhs_fn(self.full_phys_q, t)  # (nf, Q)
-                Vc = jnp.asarray(self.V_full_cat)[jnp.asarray(self.cat_full)]
-                vw = jnp.einsum("nqi,nq,q->ni", Vc, f, jnp.asarray(self.w_q))
+                if self.w_q_cell is not None:
+                    Vc = jnp.asarray(self.V_full_cat)
+                    vw = jnp.einsum("nqi,nq,nq->ni", Vc, f,
+                                    jnp.asarray(self.w_q_cell))
+                else:
+                    Vc = jnp.asarray(self.V_full_cat)[
+                        jnp.asarray(self.cat_full)]
+                    vw = jnp.einsum("nqi,nq,q->ni", Vc, f,
+                                    jnp.asarray(self.w_q))
                 y = self._scatter(y, jnp.asarray(self.w_full), vw)
             if len(self.cut_ids):
                 f = rhs_fn(self.cut_phys_q, t)
@@ -524,10 +648,10 @@ class CutOperators:
         if domain_dbc is not None and len(self.b_win):
             V = jnp.asarray(self.b_V)
             G = jnp.asarray(self.b_G)
-            nrm = jnp.asarray(self.b_normal)  # (n, dim)
+            nrm = jnp.asarray(self.b_normal_q)  # (n, Qb, dim)
             w = jnp.asarray(self.b_w)
             win = jnp.asarray(self.b_win)
-            Gn = jnp.einsum("nqdi,nd->nqi", G, nrm)
+            Gn = jnp.einsum("nqdi,nqd->nqi", G, nrm)
             if impl:
                 uw = u[win]
                 uq = jnp.einsum("nqi,ni->nq", V, uw)
@@ -556,13 +680,18 @@ class CutOperators:
         l1 = jnp.asarray(0.0)
         linf = jnp.asarray(0.0)
         if len(self.full_ids):
-            Vc = jnp.asarray(self.V_full_cat)[jnp.asarray(self.cat_full)]
+            Vc = jnp.asarray(self.V_full_cat)
+            if self.w_q_cell is None:
+                Vc = Vc[jnp.asarray(self.cat_full)]
+                wq = jnp.asarray(self.w_q)[None, :]
+            else:
+                wq = jnp.asarray(self.w_q_cell)
             uw = u[jnp.asarray(self.w_full)]
             uq = jnp.einsum("nqi,ni->nq", Vc, uw)
             ex = exact_fn(self.full_phys_q, t)
             d = uq - ex
-            l2 = l2 + jnp.sum(d * d * jnp.asarray(self.w_q)[None, :])
-            l1 = l1 + jnp.sum(jnp.abs(d) * jnp.asarray(self.w_q)[None, :])
+            l2 = l2 + jnp.sum(d * d * wq)
+            l1 = l1 + jnp.sum(jnp.abs(d) * wq)
             linf = jnp.maximum(linf, jnp.max(jnp.abs(d)))
         if len(self.cut_ids):
             V = jnp.asarray(self.V_cut)

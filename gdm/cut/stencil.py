@@ -137,7 +137,7 @@ def assemble_stencil(op: CutOperators, kind: str, gamma: float,
         raise ValueError(kind)
 
     if with_bdry_nitsche and len(op.b_win):
-        Gn = np.einsum("nqdi,nd->nqi", op.b_G, op.b_normal)
+        Gn = np.einsum("nqdi,nqd->nqi", op.b_G, op.b_normal_q)
         mats = np.einsum(
             "nqi,nqj,nq->nij",
             (nitsche_gamma / op.h_min) * op.b_V - Gn, op.b_V, op.b_w)

@@ -207,6 +207,59 @@ def _exact_metric(grid: Grid, mapping_fn, ids: np.ndarray, xi: np.ndarray):
             Ainv.reshape(n, Q, dim, dim))
 
 
+def metric_at_cell_points(grid: Grid, mapping_fn, geometry: str, verts,
+                          ids: np.ndarray, pts: np.ndarray):
+    """Per-cell map data at PER-CELL reference points (the cut-quadrature
+    layout: every cell carries its own point set).
+
+    ids: (n,) flat axis-0-fastest cell ids; pts: (n, Q, dim) unit-cell
+    points.  Returns (x (n, Q, dim) deformed physical points,
+    det (n, Q) of A = dx/dx̂, Ainv (n, Q, dim, dim)) with x̂ the
+    UNDEFORMED physical coordinates — same conventions as _cell_metric,
+    so grad_x = einsum('nqed,nqe...->nqd...', Ainv, grad_x̂) and
+    JxW_x = JxW_x̂ * det.  Used by the cut machinery
+    (gdm/cut/operators.py) to re-metric its padded quadrature tables
+    under a deformation (the reference feeds its MappingQCache into
+    every NonMatching::FEValues, wave/mass.h:163-177)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    pts = np.asarray(pts, dtype=np.float64)
+    n, Q, dim = pts.shape
+    if geometry == "exact":
+        h = np.asarray(grid.h)
+        idx = cell_axis_indices(grid, ids).astype(np.float64)
+        xh = (np.asarray(grid.lower)[None, None, :]
+              + (idx[:, None, :] + pts) * h)
+        flat = xh.reshape(-1, dim)
+        x = _map_points(mapping_fn, flat)
+        delta = 1e-5 * h
+        J = np.empty((n * Q, dim, dim))
+        for e in range(dim):
+            step = np.zeros(dim)
+            step[e] = delta[e]
+            J[:, :, e] = (_map_points(mapping_fn, flat + step)
+                          - _map_points(mapping_fn, flat - step)) / (
+                              2.0 * delta[e])
+        det = np.linalg.det(J)
+        assert det.min() > 0.0, (
+            "deformation is not orientation-preserving; "
+            f"min det = {det.min():.3e}")
+        return (x.reshape(n, Q, dim), det.reshape(n, Q),
+                np.linalg.inv(J).reshape(n, Q, dim, dim))
+    corners = _cell_corners(grid, verts, ids)  # (n, 2^dim, dim)
+    N, dN = _q1_shapes(dim, pts.reshape(-1, dim))
+    N = N.reshape(n, Q, -1)
+    dN = dN.reshape(n, Q, dim, -1)
+    h = np.asarray(grid.h)
+    x = np.einsum("nvd,nqv->nqd", corners, N)
+    J = np.einsum("nvd,nqev->nqde", corners, dN)
+    A = J / h[None, None, None, :]
+    det = np.linalg.det(A)
+    assert det.min() > 0.0, (
+        "deformation is not orientation-preserving; "
+        f"min det = {det.min():.3e}")
+    return x, det, np.linalg.inv(A)
+
+
 def _metric_for(grid: Grid, mapping_fn, geometry: str, verts, ids, xi, N, dN):
     if geometry == "exact":
         return _exact_metric(grid, mapping_fn, ids, xi)

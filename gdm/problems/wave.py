@@ -62,12 +62,19 @@ class WaveParams:
     # into this directory (reference problem.h:617-657 writes one per step)
     output_vtu_dir: Optional[str] = None
     # vertex deformation (reference parameters.h mapping_q_cache_function,
-    # threaded through all assembly at discretization.h:57-74).  General
-    # deformed UNCUT operators live in gdm.deform (any dim, q1/exact
-    # geometry); the reference's only user — wave-ev's 1D --align — is
-    # covered by gdm.tools.eigen.  Setting it here together with cut
-    # geometry (a combination no reference preset exercises) raises.
+    # threaded through all assembly at discretization.h:57-74: the
+    # MappingQCache(1) built from it feeds every NonMatching::FEValues,
+    # mass.h:163-177, stiffness.h:589-799).  Composed with cut geometry
+    # here exactly as the reference does: the cut is generated in
+    # UNDEFORMED coordinates (the level set is interpolated with the
+    # default mapping, discretization.h:92-97) and the deformation
+    # re-metrics every quadrature table (gdm/cut/operators.py).
+    # mapping_geometry="q1" matches MappingQCache(1); "exact"
+    # (beyond-reference) samples the true map at quadrature points.
+    # General deformed UNCUT operators live in gdm.deform; wave-ev's 1D
+    # --align is covered by gdm.tools.eigen.
     mapping_q_cache_function: Optional[Callable] = None
+    mapping_geometry: str = "q1"
     dim: int = 1
 
 
@@ -187,13 +194,6 @@ class WaveProblem:
         self.mesh = mesh
         self.rows = {0: [], 1: []}  # postprocess rows per location slot
         dim = params.dim
-        if params.mapping_q_cache_function is not None:
-            raise NotImplementedError(
-                "mapping_q_cache_function with cut geometry is not "
-                "supported (no reference preset exercises it); use "
-                "gdm.deform for general deformed uncut operators or "
-                "gdm.tools.eigen.build_ev_operators for the wave-ev "
-                "--align study")
         self.grid = Grid(
             params.fe_degree,
             (params.n_subdivisions_1D,) * dim,
@@ -205,13 +205,26 @@ class WaveProblem:
         )
         self.dx = (params.geometry_right - params.geometry_left) / \
             params.n_subdivisions_1D
-        self.op_in = CutOperators(self.geo, INSIDE)
+        map_kw = dict(mapping_fn=params.mapping_q_cache_function,
+                      geometry=params.mapping_geometry)
+        self.op_in = CutOperators(self.geo, INSIDE, **map_kw)
         self.op_out = (
-            CutOperators(self.geo, OUTSIDE) if params.composite else None
+            CutOperators(self.geo, OUTSIDE, **map_kw)
+            if params.composite else None
         )
 
     # -- helpers --------------------------------------------------------
     def interpolate_exact(self, t: float) -> jnp.ndarray:
+        if self.params.mapping_q_cache_function is not None:
+            # reference problem.h:448-455: VectorTools::interpolate runs
+            # under the deformed mapping — nodes sit at their deformed
+            # positions
+            from .. import deform
+
+            verts = deform.deformed_node_positions(
+                self.grid, self.params.mapping_q_cache_function)
+            vals = self.params.exact_solution(verts, t)
+            return jnp.asarray(np.asarray(vals).reshape(-1))
         mesh = self.grid.node_coords_mesh()
         pts = np.stack(mesh, axis=-1)
         vals = self.params.exact_solution(pts, t)

@@ -68,7 +68,9 @@ def write_matrix(M: np.ndarray, file_name: str, binary: bool = True,
 def build_ev_operators(fe_degree: int = 5, n_subdivisions_1D: int = 100,
                        radius: float = 1.0, alpha: float = -1.0,
                        align: bool = False, gp_scale: float = 1.0,
-                       dim: int = 1, mapping_fn=None):
+                       dim: int = 1, mapping_fn=None,
+                       mapping_cut: bool = False,
+                       mapping_geometry: str = "q1"):
     """Replicates wave-ev's parameter derivation (wave-ev.cc:146-297):
     --alpha places the interface at fraction alpha inside its cell by
     adjusting the radius; --alpha with --align additionally deforms the
@@ -82,7 +84,7 @@ def build_ev_operators(fe_degree: int = 5, n_subdivisions_1D: int = 100,
     (ops1d.assemble_1d(jac=...)), dim=1 like the reference tool
     (wave-ev.cc:306)."""
     h = 1.21 / (n_subdivisions_1D / 2)
-    if mapping_fn is not None:
+    if mapping_fn is not None and not mapping_cut:
         # general mapping_q_cache_function (wave parameters.h): arbitrary
         # vertex deformation, any dim, uncut spectra — assembled through
         # the per-cell Q1 chart exactly like the reference's
@@ -130,7 +132,13 @@ def build_ev_operators(fe_degree: int = 5, n_subdivisions_1D: int = 100,
         lambda m: np.sqrt(sum(np.asarray(x) ** 2 for x in m)) - radius,
         fe_degree,
     )
-    op = CutOperators(geo, INSIDE)
+    # mapping_cut=True composes the deformation with the cut machinery
+    # (reference discretization.h:57-74 feeds the MappingQCache into
+    # every NonMatching::FEValues): the cut is generated undeformed, the
+    # quadrature tables are re-metriced in CutOperators — an any-dim
+    # deformed-cut spectral study (e.g. wave-ev --alpha/--align in 2D).
+    op = CutOperators(geo, INSIDE, mapping_fn=mapping_fn,
+                      geometry=mapping_geometry)
     gm = gp_scale * 0.25 * np.sqrt(3.0)
     ga = gp_scale * 0.50 * np.sqrt(3.0)
     N = grid.n_nodes

@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--write_ascii", action="store_true")
     ap.add_argument("--alpha", type=float, default=-1.0)
     ap.add_argument("--align", action="store_true")
+    # beyond the reference tool (wave-ev.cc:306 hardcodes dim=1): the
+    # cut spectral study is dim-generic here, so --alpha interface-
+    # placement sweeps run in 2D/3D too (--align stays 1D: a fitted
+    # outer boundary on a tensor grid only exists in 1D)
+    ap.add_argument("--dim", type=int, default=1)
     ap.add_argument("--rescale_matrix", action="store_true")
     args = ap.parse_args(argv)
 
@@ -52,6 +57,7 @@ def main(argv=None):
         alpha=args.alpha,
         align=args.align,
         gp_scale=0.0 if args.disable_ghost_penalty else 1.0,
+        dim=args.dim,
     )
 
     prefix = args.file_prefix + "_" if args.file_prefix else ""
