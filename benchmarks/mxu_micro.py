@@ -213,6 +213,59 @@ def roll_ceiling(n=1024, p=3, tile_r=256):
     return out
 
 
+def relayout_cost(rows=512, lanes=128, dtype=jnp.float32, steps=4096,
+                  interpret=False):
+    """Pure-VMEM lane<->sublane transpose throughput at the 3D kernel's
+    working shapes — the cost driver of the second-MXU-axis 3D design
+    (BASELINE.md '3D (beyond-reference scope)'): running the axis-1
+    coupling on the MXU needs i1 moved from sublanes to lanes, i.e. a
+    full relayout of both stage-1 outputs (A, B) and both stage-2
+    outputs (P, T) back.  Measures jnp.transpose of a (rows, lanes)
+    VMEM-resident tile inside a Pallas kernel (no DMA in the loop), in
+    microseconds per million transposed elements — directly comparable
+    to roll_ceiling's per-pass FMA/roll costs."""
+    import time
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_hbm, y_hbm, xs, ys, sem):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            pltpu.make_async_copy(x_hbm, xs, sem).wait()
+
+        # step-dependent scale defeats any cross-step reuse
+        scale = (1.0 + i.astype(jnp.float32) * 1e-12).astype(dtype)
+        ys[...] = (xs[...] * scale).T
+
+        @pl.when(i == steps - 1)
+        def _():
+            pltpu.make_async_copy(ys, y_hbm, sem).wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((lanes, rows), dtype),
+        grid=(steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((rows, lanes), dtype),
+            pltpu.VMEM((lanes, rows), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )
+    x = jnp.asarray(np.random.rand(rows, lanes), dtype)
+    f = jax.jit(call)
+    f(x).block_until_ready()
+    t0 = time.time()
+    f(x).block_until_ready()
+    dt = (time.time() - t0) / steps
+    return dt / (rows * lanes) * 1e12  # us per M elements
+
+
 if __name__ == "__main__":
     print("platform:", jax.devices()[0].platform)
     quick = "quick" in sys.argv[1:]

@@ -412,19 +412,26 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
                                             preferred_element_type=dtype)
             return acc
 
+        def stage_and_split(slot):
+            # the hi parts stay register values through the subtraction
+            # (reading vwhi back from VMEM costs an extra full-array VPU
+            # read per split on a pass-throughput-bound kernel)
+            V, W = stage1(bufs[slot], b1s_ref, b1m_ref)
+            Vhi = V.astype(split_dt)
+            Whi = W.astype(split_dt)
+            vwhi[slot, 0:T_ext, :] = Vhi
+            vwhi[slot, T_ext : 2 * T_ext, :] = Whi
+            vwlo[slot, 0:T_ext, :] = (
+                V - Vhi.astype(dtype)).astype(split_dt)
+            vwlo[slot, T_ext : 2 * T_ext, :] = (
+                W - Whi.astype(dtype)).astype(split_dt)
+
         @pl.when(i > 0)
         def _():
             acc_prev = dots(prev, jnp.maximum(i - 1, 0))
             # stage tile i's operands (VPU) — the scheduler overlaps the
             # in-flight matmuls with these rolls
-            V, W = stage1(bufs[slot], b1s_ref, b1m_ref)
-            vwhi[slot, 0:T_ext, :] = V.astype(split_dt)
-            vwhi[slot, T_ext : 2 * T_ext, :] = W.astype(split_dt)
-            vwlo[slot, 0:T_ext, :] = (
-                V - vwhi[slot, 0:T_ext, :].astype(dtype)).astype(split_dt)
-            vwlo[slot, T_ext : 2 * T_ext, :] = (
-                W - vwhi[slot, T_ext : 2 * T_ext, :].astype(dtype)
-            ).astype(split_dt)
+            stage_and_split(slot)
 
             @pl.when(i >= 3)
             def _():
@@ -435,14 +442,7 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
 
         @pl.when(i == 0)
         def _():
-            V, W = stage1(bufs[slot], b1s_ref, b1m_ref)
-            vwhi[slot, 0:T_ext, :] = V.astype(split_dt)
-            vwhi[slot, T_ext : 2 * T_ext, :] = W.astype(split_dt)
-            vwlo[slot, 0:T_ext, :] = (
-                V - vwhi[slot, 0:T_ext, :].astype(dtype)).astype(split_dt)
-            vwlo[slot, T_ext : 2 * T_ext, :] = (
-                W - vwhi[slot, T_ext : 2 * T_ext, :].astype(dtype)
-            ).astype(split_dt)
+            stage_and_split(slot)
 
         @pl.when(i == n_tiles - 1)
         def _():

@@ -1,0 +1,101 @@
+"""Execute the wave-family app goldens ON THE REAL TPU and commit the
+error-row trajectories.
+
+All golden validation in tests/ runs on CPU float64 (the conftest
+sanitized env); this script puts hardware evidence behind the framework's
+core claim — golden-matching physics on TPU through the PRODUCT dispatch
+(fused Pallas cut kernels, f32/bf16x3 accuracy class, see
+gdm/ops/fast.py) — by running the reference app presets
+
+    heat_1.output   heat-rk  dim 1      wave_0.output  wave  dim 1
+    wave_1.output   wave     dim 2      step85_0.output step85 dim 2
+
+(reference oracles: /root/reference/applications/wave/tests/*.output)
+on the chip and writing every postprocess row plus the per-case maximum
+relative deviation from the CPU-x64 goldens to a JSON artifact.  The
+committed copy (tests/data/tpu_wave_goldens.json) is pinned by
+tests/test_tpu_goldens_artifact.py; the measured deviation class is
+recorded in BASELINE.md.
+
+Usage:  python scripts/run_tpu_goldens.py [out.json]
+        (plain python = real TPU; runs in f32 — x64 is a CPU-only mode)
+"""
+
+import json
+import re
+import sys
+import time
+
+REF = "/root/reference/applications/wave/tests"
+
+CASES = [
+    # artifact key, reference output, preset, dim
+    ("heat_1", "heat_1.output", "heat-rk", 1),
+    ("wave_0", "wave_0.output", "wave", 1),
+    ("wave_1", "wave_1.output", "wave", 2),
+    ("step85_0", "step85_0.output", "step85", 2),
+]
+
+
+def parse_rows(path):
+    pat = re.compile(
+        r"^\s*(\d+)\s+([\d.]+)\s+([\d.e+-]+)\s+([\d.e+-]+)\s+([\d.e+-]+)\s*$")
+    rows = []
+    with open(path) as f:
+        for line in f:
+            m = pat.match(line)
+            if m:
+                rows.append([float(x) for x in m.groups()])
+    return rows
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "tpu_wave_goldens.json"
+    sys.path.insert(0, ".")
+    import jax
+    import numpy as np
+
+    from gdm.problems.wave import WaveProblem, make_preset
+
+    platform = jax.devices()[0].platform
+    artifact = {"platform": platform,
+                "x64": bool(jax.config.jax_enable_x64), "cases": {}}
+    for key, output, preset, dim in CASES:
+        params = make_preset(preset, dim)
+        if not jax.config.jax_enable_x64:
+            # f32: the preset 1e-14 CG reduction is unreachable (the
+            # implicit/poisson solves would spin to max_iter); 1e-6 is
+            # the f32 floor
+            params.solver_rel_tolerance = max(
+                params.solver_rel_tolerance, 1e-6)
+            params.solver_abs_tolerance = max(
+                params.solver_abs_tolerance, 1e-12)
+        prob = WaveProblem(params, verbose=False)
+        t0 = time.time()
+        if params.simulation_type == "poisson":
+            prob.run()  # single solve; run_scan delegates here anyway
+        else:
+            prob.run_scan(chunk=64)
+        wall = time.time() - t0
+        rows = [[float(v) for v in r] for r in prob.rows[0]]
+        golden = parse_rows(f"{REF}/{output}")
+        assert len(rows) == len(golden), (key, len(rows), len(golden))
+        # max relative deviation over the L2/L1/Linf columns of every row
+        dev = max(
+            abs(m - g) / abs(g)
+            for mr, gr in zip(rows, golden)
+            for m, g in zip(mr[2:5], gr[2:5]))
+        artifact["cases"][key] = {
+            "preset": preset, "dim": dim, "reference_output": output,
+            "rows": rows, "max_rel_dev_vs_golden": dev, "wall_s": wall,
+        }
+        print(f"{key}: {len(rows)} rows, max rel dev {dev:.3e}, "
+              f"{wall:.1f}s", flush=True)
+
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
