@@ -54,9 +54,13 @@ def test_step85_mg_iterations_flat():
         r = float(jnp.linalg.norm(st.apply(x) - b) / jnp.linalg.norm(b))
         assert r < 1e-7, r
     # mesh independence: once the level count stabilizes (40^2 has one
-    # level fewer), refinement adds at most noise
-    assert iters[160] <= iters[80] + 3, iters
-    assert iters[160] <= 25, iters
+    # level fewer), refinement adds at most noise.  Chebyshev(4)
+    # smoothing (round 4) holds the counts single-digit: measured
+    # [6, 7, 7] at 40/80/160 (dev/cheb_sweep.py; damped Richardson gave
+    # [15, 22, 21]) — the "[L] solved in 2"-class behavior of the
+    # reference's AMG (step85_0.output:1) within a small factor
+    assert iters[160] <= iters[80] + 2, iters
+    assert iters[160] <= 9, iters
 
 
 def test_step85_mg_beats_jacobi():
@@ -94,8 +98,10 @@ def test_heat_impl_mg_iterations_flat():
         r = float(jnp.linalg.norm(sys_op.apply(x) - b)
                   / jnp.linalg.norm(b))
         assert r < 1e-7, r
-    assert iters[160] <= iters[80] + 5, iters
-    assert iters[160] <= 28, iters
+    # Chebyshev(4): measured [6, 7, 7] at 40/80/160 (Richardson gave
+    # [21, 22, 25])
+    assert iters[160] <= iters[80] + 2, iters
+    assert iters[160] <= 9, iters
 
 
 @pytest.mark.slow
@@ -107,8 +113,8 @@ def test_step85_mg_iterations_flat_512():
         mg = cut_poisson_multigrid(op, GA, GN, LS, level_set_degree=3)
         it, x = _solve_iters(st.apply, b, jax.jit(mg.precondition))
         iters[n] = it
-    assert iters[512] <= iters[128] + 4, iters
-    assert iters[512] <= 30, iters
+    assert iters[512] <= iters[128] + 3, iters
+    assert iters[512] <= 12, iters
 
 
 def test_step85_preset_with_mg_solver():
