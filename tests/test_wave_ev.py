@@ -87,3 +87,17 @@ def test_wave_ev_cli_align(capsys, tmp_path, monkeypatch):
     out = capsys.readouterr().out
     assert "condition number:" in out and "max ev(M\\S):" in out
     assert (tmp_path / "out_M.dat").exists()
+
+
+def test_wave_ev_cli_alpha_2d(capsys):
+    """--alpha interface-placement study in 2D (round 4: the cut
+    spectral path is dim-generic; the reference tool hardcodes dim=1,
+    wave-ev.cc:306)."""
+    from gdm.tools import wave_ev
+
+    wave_ev.main([
+        "--compute_kappa_m", "--fe_degree", "3", "--n_subdivisions", "12",
+        "--alpha", "0.3", "--dim", "2", "--rescale_matrix",
+    ])
+    out = capsys.readouterr().out
+    assert "condition number:" in out
