@@ -164,3 +164,27 @@ def test_ev_deformed_cut_2d():
     lamw, _ = eigen.max_generalized_eigenvalue(
         Sw + 1e-12 * np.eye(len(Sw)), Mw + 1e-12 * np.eye(len(Mw)))
     assert np.isfinite(lamw) and 0.2 < lamw / lam0 < 5.0
+
+
+def test_wave_composite_deformed_identity():
+    """Composite (both-locations) runs take the deformed path too: the
+    OUTSIDE operators' volume/interface/GP/boundary tables ride the same
+    re-metric code; identity mapping reproduces the undeformed composite
+    heat rows digit-exact in both slots."""
+    from gdm.problems.wave import WaveProblem, make_preset
+
+    def cfg(mapping):
+        p = make_preset("heat-composite", 1)
+        p.n_subdivisions_1D = 24
+        p.end_t = 0.02
+        p.mapping_q_cache_function = mapping
+        return p
+
+    plain = WaveProblem(cfg(None), verbose=False)
+    plain.run()
+    ident = WaveProblem(cfg(lambda p: p), verbose=False)
+    ident.run()
+    for slot in (0, 1):
+        assert len(plain.rows[slot]) >= 2
+        for r0, r1 in zip(plain.rows[slot], ident.rows[slot]):
+            np.testing.assert_allclose(r1[2:], r0[2:], rtol=1e-9)
