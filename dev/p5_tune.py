@@ -32,8 +32,20 @@ def main():
     H = 8
     dof = float(grid.n_dofs)
 
+    # 0. column stage alone per tile height (halo redundancy scales as
+    # (tile_r + 2H) / tile_r)
+    from benchmarks.mxu_micro import make_stage1_micro
+
+    for tile_r in (96, 128, 192, 256):
+        ap, shape = make_stage1_micro(grid, "full", tile_r=tile_r)
+        u = jnp.ones(shape, jnp.float32)
+        dt = timed_chain(lambda v: ap(v) * 1e-3, u)
+        print(json.dumps({
+            "what": "p5_stage1_full", "tile_r": tile_r,
+            "us_per_mdof": dt / dof * 1e6 * 1e6}), flush=True)
+
     # 1. bare row-dot cost: 3 passes of (tile_r, 2*T_ext) @ (2*T_ext, W2)
-    for tile_r in (96, 112, 128, 160):
+    for tile_r in (96, 112, 128, 160, 192, 256):
         T_ext = tile_r + 2 * H
         tf = bench_matmul(tile_r, 2 * T_ext, W2, jnp.bfloat16, None)
         one_dot_s = 2 * tile_r * 2 * T_ext * W2 / (tf * 1e12)
@@ -47,7 +59,7 @@ def main():
 
     # 2. full matvec per tile_r (register-resident split)
     rng = np.random.default_rng(0)
-    for tile_r in (96, 112, 128, 160):
+    for tile_r in (96, 112, 128, 160, 192, 256):
         apply_padded, pad, unpad, shape = make_padded_laplace2(
             grid, jnp.float32, tile_r=tile_r, rows="mxu3p")
         u = jnp.asarray(rng.standard_normal(grid.nodes + (1,)),

@@ -80,17 +80,24 @@ def main():
         rows = [[float(v) for v in r] for r in prob.rows[0]]
         golden = parse_rows(f"{REF}/{output}")
         assert len(rows) == len(golden), (key, len(rows), len(golden))
-        # max relative deviation over the L2/L1/Linf columns of every row
-        dev = max(
-            abs(m - g) / abs(g)
-            for mr, gr in zip(rows, golden)
-            for m, g in zip(mr[2:5], gr[2:5]))
+        # two deviation summaries over the L2/L1/Linf columns:
+        #   max_rel  — plain per-entry relative (blows up on rows whose
+        #              norm is far below the trajectory scale: wave_0's
+        #              oscillating L2 dips 1000x under its peak, where
+        #              f32 noise dominates the RELATIVE measure)
+        #   max_scaled — |m - g| / per-column golden max (deviation
+        #              relative to the trajectory scale; the pinned one)
+        marr = np.array([r[2:5] for r in rows])
+        garr = np.array([g[2:5] for g in golden])
+        dev = float((np.abs(marr - garr) / np.abs(garr)).max())
+        scaled = float((np.abs(marr - garr) / garr.max(axis=0)).max())
         artifact["cases"][key] = {
             "preset": preset, "dim": dim, "reference_output": output,
-            "rows": rows, "max_rel_dev_vs_golden": dev, "wall_s": wall,
+            "rows": rows, "max_rel_dev_vs_golden": dev,
+            "max_scaled_dev_vs_golden": scaled, "wall_s": wall,
         }
         print(f"{key}: {len(rows)} rows, max rel dev {dev:.3e}, "
-              f"{wall:.1f}s", flush=True)
+              f"scaled {scaled:.3e}, {wall:.1f}s", flush=True)
 
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
