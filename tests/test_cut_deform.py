@@ -188,3 +188,22 @@ def test_wave_composite_deformed_identity():
         assert len(plain.rows[slot]) >= 2
         for r0, r1 in zip(plain.rows[slot], ident.rows[slot]):
             np.testing.assert_allclose(r1[2:], r0[2:], rtol=1e-9)
+
+
+def test_identity_mapping_parity_3d():
+    """The re-metric path is dim-generic (beyond-reference: the
+    reference never composes its mapping with 3D cut geometry): 3D
+    identity chart reproduces the undeformed operators to roundoff."""
+    LS3 = lambda m: np.sqrt(sum(np.asarray(x) ** 2 for x in m)) - 1.0
+    grid = Grid(3, (8, 8, 8), (-1.21, -1.21, -1.21), (1.21, 1.21, 1.21))
+    geo = CutGeometry.build(grid, LS3, 3)
+    op0 = CutOperators(geo, INSIDE)
+    op1 = CutOperators(geo, INSIDE, mapping_fn=lambda p: p, geometry="q1")
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal(grid.n_nodes))
+    m0 = np.asarray(op0.mass_apply(v, 0.75))
+    m1 = np.asarray(op1.mass_apply(v, 0.75))
+    np.testing.assert_allclose(m1, m0, rtol=0, atol=1e-12 * np.abs(m0).max())
+    s0 = np.asarray(op0.stiffness_matrix_apply(v, 1.5, 15.0))
+    s1 = np.asarray(op1.stiffness_matrix_apply(v, 1.5, 15.0))
+    np.testing.assert_allclose(s1, s0, rtol=0, atol=1e-11 * np.abs(s0).max())
