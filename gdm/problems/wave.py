@@ -805,7 +805,12 @@ def _write_step_vtu(problem: "WaveProblem", sol, t, path: str,
     from ..io import DataOut
 
     pp = problem.params
-    out = DataOut(problem.grid, pp.output_fe_degree)
+    # reference problem.h:618 builds DataOut with the (possibly
+    # deformed) mapping: patch points land in deformed space
+    map_kw = ({} if pp.mapping_q_cache_function is None else
+              dict(mapping_fn=pp.mapping_q_cache_function,
+                   geometry=pp.mapping_geometry))
+    out = DataOut(problem.grid, pp.output_fe_degree, **map_kw)
     out.add_data_vector(np.asarray(sol), "solution")
     if pp.level_set_function is not None:
         mesh = problem.grid.node_coords_mesh()

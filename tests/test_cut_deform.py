@@ -207,3 +207,33 @@ def test_identity_mapping_parity_3d():
     s0 = np.asarray(op0.stiffness_matrix_apply(v, 1.5, 15.0))
     s1 = np.asarray(op1.stiffness_matrix_apply(v, 1.5, 15.0))
     np.testing.assert_allclose(s1, s0, rtol=0, atol=1e-11 * np.abs(s0).max())
+
+
+def test_wave_vtu_deformed_coordinates(tmp_path):
+    """WaveProblem's per-step VTU writes patch points in deformed space
+    when mapping_q_cache_function is set (reference problem.h:618 builds
+    DataOut with the MappingQCache)."""
+    from gdm.problems.wave import WaveProblem, _write_step_vtu, make_preset
+
+    def cfg(mapping):
+        p = make_preset("heat", 2)
+        p.n_subdivisions_1D = 8
+        p.mapping_q_cache_function = mapping
+        return p
+
+    def points_of(path):
+        import re
+
+        txt = open(path).read()
+        m = re.search(r'<Points>.*?<DataArray[^>]*>(.*?)</DataArray>',
+                      txt, re.S)
+        return np.fromstring(m.group(1), sep=" ")
+
+    z = np.zeros(9 * 9)
+    p0 = tmp_path / "plain.vtu"
+    pw = tmp_path / "warp.vtu"
+    _write_step_vtu(WaveProblem(cfg(None), verbose=False), z, 0.0, str(p0))
+    _write_step_vtu(WaveProblem(cfg(warp), verbose=False), z, 0.0, str(pw))
+    a, b = points_of(p0), points_of(pw)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() > 1e-3  # points moved
