@@ -9,6 +9,8 @@ gdm/ops/fast.py) — by running the reference app presets
 
     heat_1.output   heat-rk  dim 1      wave_0.output  wave  dim 1
     wave_1.output   wave     dim 2      step85_0.output step85 dim 2
+    heat_composite_0.output  heat-composite dim 1 (2 slots)
+    wave_composite_0.output  wave-composite dim 1 (2 slots)
 
 (reference oracles: /root/reference/applications/wave/tests/*.output)
 on the chip and writing every postprocess row plus the per-case maximum
@@ -29,23 +31,28 @@ import time
 REF = "/root/reference/applications/wave/tests"
 
 CASES = [
-    # artifact key, reference output, preset, dim
-    ("heat_1", "heat_1.output", "heat-rk", 1),
-    ("wave_0", "wave_0.output", "wave", 1),
-    ("wave_1", "wave_1.output", "wave", 2),
-    ("step85_0", "step85_0.output", "step85", 2),
+    # artifact key, reference output, preset, dim, n_slots
+    ("heat_1", "heat_1.output", "heat-rk", 1, 1),
+    ("wave_0", "wave_0.output", "wave", 1, 1),
+    ("wave_1", "wave_1.output", "wave", 2, 1),
+    ("step85_0", "step85_0.output", "step85", 2, 1),
+    ("heat_composite_0", "heat_composite_0.output", "heat-composite", 1, 2),
+    ("wave_composite_0", "wave_composite_0.output", "wave-composite", 1, 2),
 ]
 
 
-def parse_rows(path):
+def parse_rows(path, n_slots=1):
+    """Composite outputs interleave inside/outside rows."""
     pat = re.compile(
         r"^\s*(\d+)\s+([\d.]+)\s+([\d.e+-]+)\s+([\d.e+-]+)\s+([\d.e+-]+)\s*$")
-    rows = []
+    rows = {s: [] for s in range(n_slots)}
+    i = 0
     with open(path) as f:
         for line in f:
             m = pat.match(line)
             if m:
-                rows.append([float(x) for x in m.groups()])
+                rows[i % n_slots].append([float(x) for x in m.groups()])
+                i += 1
     return rows
 
 
@@ -60,7 +67,7 @@ def main():
     platform = jax.devices()[0].platform
     artifact = {"platform": platform,
                 "x64": bool(jax.config.jax_enable_x64), "cases": {}}
-    for key, output, preset, dim in CASES:
+    for key, output, preset, dim, n_slots in CASES:
         params = make_preset(preset, dim)
         if not jax.config.jax_enable_x64:
             # f32: the preset 1e-14 CG reduction is unreachable (the
@@ -77,9 +84,7 @@ def main():
         else:
             prob.run_scan(chunk=64)
         wall = time.time() - t0
-        rows = [[float(v) for v in r] for r in prob.rows[0]]
-        golden = parse_rows(f"{REF}/{output}")
-        assert len(rows) == len(golden), (key, len(rows), len(golden))
+        golden = parse_rows(f"{REF}/{output}", n_slots)
         # two deviation summaries over the L2/L1/Linf columns:
         #   max_rel  — plain per-entry relative (blows up on rows whose
         #              norm is far below the trajectory scale: wave_0's
@@ -87,17 +92,27 @@ def main():
         #              f32 noise dominates the RELATIVE measure)
         #   max_scaled — |m - g| / per-column golden max (deviation
         #              relative to the trajectory scale; the pinned one)
-        marr = np.array([r[2:5] for r in rows])
-        garr = np.array([g[2:5] for g in golden])
-        dev = float((np.abs(marr - garr) / np.abs(garr)).max())
-        scaled = float((np.abs(marr - garr) / garr.max(axis=0)).max())
+        slot_rows, dev, scaled = [], 0.0, 0.0
+        for slot in range(n_slots):
+            rows = [[float(v) for v in r] for r in prob.rows[slot]]
+            g = golden[slot]
+            assert len(rows) == len(g), (key, slot, len(rows), len(g))
+            marr = np.array([r[2:5] for r in rows])
+            garr = np.array([r[2:5] for r in g])
+            dev = max(dev, float((np.abs(marr - garr) / np.abs(garr)).max()))
+            scaled = max(scaled, float(
+                (np.abs(marr - garr) / garr.max(axis=0)).max()))
+            slot_rows.append(rows)
         artifact["cases"][key] = {
             "preset": preset, "dim": dim, "reference_output": output,
-            "rows": rows, "max_rel_dev_vs_golden": dev,
+            "n_slots": n_slots,
+            "rows": slot_rows[0] if n_slots == 1 else slot_rows,
+            "max_rel_dev_vs_golden": dev,
             "max_scaled_dev_vs_golden": scaled, "wall_s": wall,
         }
-        print(f"{key}: {len(rows)} rows, max rel dev {dev:.3e}, "
-              f"scaled {scaled:.3e}, {wall:.1f}s", flush=True)
+        print(f"{key}: {sum(len(r) for r in slot_rows)} rows, "
+              f"max rel dev {dev:.3e}, scaled {scaled:.3e}, {wall:.1f}s",
+              flush=True)
 
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
