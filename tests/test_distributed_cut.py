@@ -121,3 +121,27 @@ def test_heat_composite_rows_shard_invariant():
         for r0, r1 in zip(rows0[slot], rows1[slot]):
             np.testing.assert_allclose(r1[2:], r0[2:], rtol=1e-12,
                                        atol=1e-16)
+
+
+def test_deformed_wave_rows_shard_invariant():
+    """Round 4: the deformed-cut composition (mapping_q_cache_function
+    re-metricing every quadrature table) through the SHARDED solver —
+    the deformed band applies are domain-decomposed identically, so the
+    sharded error rows must match the serial ones to roundoff."""
+    from gdm.problems.wave import WaveProblem, make_preset
+
+    def squeeze(pts):
+        pts = np.asarray(pts, float)
+        return pts + 0.04 * np.sin(np.pi * pts / 1.21)
+
+    p = make_preset("heat", 1)
+    p.end_t = 0.15
+    p.mapping_q_cache_function = squeeze
+    serial = WaveProblem(p, verbose=False)
+    rows0 = serial.run()
+    sharded = WaveProblem(p, verbose=False, mesh=device_mesh(8))
+    rows1 = sharded.run()
+    assert len(rows1[0]) == len(rows0[0]) > 2
+    for r0, r1 in zip(rows0[0], rows1[0]):
+        assert r0[:2] == r1[:2]
+        np.testing.assert_allclose(r1[2:], r0[2:], rtol=1e-10, atol=1e-16)
