@@ -32,15 +32,17 @@ ART = os.path.join(os.path.dirname(__file__), "data",
 REF = "/root/reference/applications/wave/tests"
 
 # per-case max SCALED deviation (|m-g| / per-column golden max) allowed
-# between the TPU f32 rows and the CPU-x64 goldens; ~3x above the
-# CPU-f32 rehearsal values (5.0e-4 / 7.2e-3 / 1.5e-3 / 1.2e-3 /
-# 1.0e-2) so real regressions trip them while hardware-vs-host f32
-# flavor does not
+# between the TPU f32 rows and the CPU-x64 goldens.  Measured on the
+# real chip (v5e, 2026-08-18 run of scripts/run_tpu_goldens.py):
+# 1.92e-3 / 6.74e-3 / 1.45e-3 / 3.43e-3 / 1.12e-2 — pins sit ~1.5-3x
+# above those so real regressions trip them while run-to-run f32
+# flavor does not (CPU-f32 rehearsal was 5.0e-4 / 7.2e-3 / 1.5e-3 /
+# 1.2e-3 / 1.0e-2)
 TOL = {
-    "heat_1": 2e-3,
+    "heat_1": 3e-3,
     "wave_0": 2.5e-2,
     "wave_1": 5e-3,
-    "heat_composite_0": 4e-3,
+    "heat_composite_0": 6e-3,
     "wave_composite_0": 2.5e-2,
 }
 # step85's discretization error (~8.5e-9) is below the f32 resolution of
