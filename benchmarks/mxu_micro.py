@@ -58,9 +58,12 @@ def make_stage1_micro(grid, mode, dtype=jnp.float32, tile_r=256,
     """Stripped column-stage kernel over the mxu3p padded layout.
 
     mode: "full" (K rolls + 2K FMAs), "norolls" (2K FMAs, shift elided),
-    "rollsonly" (K rolls + K adds).  Output y = V + W (or sum of rolls)
-    written once per tile; same double-buffered DMA schedule as the real
-    kernels, so the difference between modes is pure compute.
+    "rollsonly" (K rolls + K adds), "rowsonly" (the mxu3p ROW stage
+    stripped of the column stage: bf16 hi/lo splits of the stage-1
+    outputs + the 3 bf16 dot passes per tile, column rolls/FMAs elided
+    — measures the non-column floor of the composition).  Output
+    written once per tile; same double-buffered DMA schedule as the
+    real kernels, so the difference between modes is pure compute.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -80,15 +83,23 @@ def make_stage1_micro(grid, mode, dtype=jnp.float32, tile_r=256,
     R_ext = Rp + 2 * H
     NB = 1 if n_tiles == 1 else 2
 
-    b1s = np.zeros((K, W2))
-    b1m = np.zeros((K, W2))
-    band1s = stiffness_1d(p, grid.cells[1], grid.h[1]).band
-    band1m = mass_1d(p, grid.cells[1], grid.h[1]).band
-    for l in range(K):
-        b1s[l, p : p + N1] = band1s[:, l]
-        b1m[l, p : p + N1] = band1m[:, l]
-    b1s = jnp.asarray(b1s, dtype)
-    b1m = jnp.asarray(b1m, dtype)
+    if mode in ("rowsonly", "dotsonly", "splitsonly"):
+        # stand-in row tables at the real kernel's exact shapes/dtype
+        rng = np.random.default_rng(0)
+        bf = rng.standard_normal((n_tiles * tile_r, 2 * T_ext))
+        b1s = jnp.asarray(bf, jnp.bfloat16)                     # hi
+        b1m = jnp.asarray(
+            bf - np.asarray(b1s, np.float32), jnp.bfloat16)     # lo
+    else:
+        b1s = np.zeros((K, W2))
+        b1m = np.zeros((K, W2))
+        band1s = stiffness_1d(p, grid.cells[1], grid.h[1]).band
+        band1m = mass_1d(p, grid.cells[1], grid.h[1]).band
+        for l in range(K):
+            b1s[l, p : p + N1] = band1s[:, l]
+            b1m[l, p : p + N1] = band1m[:, l]
+        b1s = jnp.asarray(b1s, dtype)
+        b1m = jnp.asarray(b1m, dtype)
 
     def kernel(u_hbm, b1s_ref, b1m_ref, y_hbm, bufs, ytile,
                sem_in, sem_out):
@@ -119,19 +130,47 @@ def make_stage1_micro(grid, mode, dtype=jnp.float32, tile_r=256,
         slot = i % NB
         in_copy(i, slot).wait()
 
-        uw = bufs[slot, H : H + tile_r, :]
-        acc = jnp.zeros((tile_r, W2), dtype)
-        for l in range(K):
-            shift = (p - l) % W2
-            if mode == "norolls" or shift == 0:
-                r = uw
+        if mode in ("rowsonly", "dotsonly", "splitsonly"):
+            # bf16x3 row stage on stand-ins for the stage-1 outputs
+            # (V = W = the input tile): hi/lo splits + 3 MXU passes,
+            # exactly kernel_mxu3p's row arithmetic per tile.
+            # "dotsonly" elides the lo split (one convert + 3 dots);
+            # "splitsonly" elides the dots (pure VPU split cost).
+            uf = bufs[slot]                                # (T_ext, W2)
+            hi = uf.astype(jnp.bfloat16)
+            if mode == "dotsonly":
+                lo = hi
             else:
-                r = pltpu.roll(uw, shift, axis=1)
-            if mode == "rollsonly":
-                acc = acc + r
+                lo = (uf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            cat_hi = jnp.concatenate([hi, hi], axis=0)
+            cat_lo = jnp.concatenate([lo, lo], axis=0)
+            if mode == "splitsonly":
+                acc = (cat_hi[0:tile_r, :].astype(jnp.float32)
+                       + cat_lo[0:tile_r, :].astype(jnp.float32))
             else:
-                acc = acc + b1m_ref[l : l + 1, :] * r
-                acc = acc + b1s_ref[l : l + 1, :] * r
+                bh = b1s_ref[...]
+                bl = b1m_ref[...]
+                acc = jax.lax.dot(bh, cat_hi,
+                                  preferred_element_type=jnp.float32)
+                acc = acc + jax.lax.dot(bh, cat_lo,
+                                        preferred_element_type=jnp.float32)
+                acc = acc + jax.lax.dot(bl, cat_hi,
+                                        preferred_element_type=jnp.float32)
+            acc = acc.astype(dtype)
+        else:
+            uw = bufs[slot, H : H + tile_r, :]
+            acc = jnp.zeros((tile_r, W2), dtype)
+            for l in range(K):
+                shift = (p - l) % W2
+                if mode == "norolls" or shift == 0:
+                    r = uw
+                else:
+                    r = pltpu.roll(uw, shift, axis=1)
+                if mode == "rollsonly":
+                    acc = acc + r
+                else:
+                    acc = acc + b1m_ref[l : l + 1, :] * r
+                    acc = acc + b1s_ref[l : l + 1, :] * r
 
         @pl.when(i >= 2)
         def _():
@@ -152,9 +191,11 @@ def make_stage1_micro(grid, mode, dtype=jnp.float32, tile_r=256,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((K, W2), lambda i: (0, 0)),
-            pl.BlockSpec((K, W2), lambda i: (0, 0)),
-        ],
+        ] + ([pl.BlockSpec((tile_r, 2 * T_ext), lambda i: (i, 0)),
+              pl.BlockSpec((tile_r, 2 * T_ext), lambda i: (i, 0))]
+             if mode in ("rowsonly", "dotsonly", "splitsonly") else
+             [pl.BlockSpec((K, W2), lambda i: (0, 0)),
+              pl.BlockSpec((K, W2), lambda i: (0, 0))]),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((NB, T_ext, W2), dtype),
@@ -187,7 +228,8 @@ def roll_ceiling(n=1024, p=3, tile_r=256):
     K = 2 * p + 1
     out = {"n": n, "p": p, "K": K}
 
-    for mode in ("full", "norolls", "rollsonly"):
+    for mode in ("full", "norolls", "rollsonly",
+                 "rowsonly", "dotsonly", "splitsonly"):
         ap, shape = make_stage1_micro(grid, mode, tile_r=tile_r)
         u = jnp.ones(shape, jnp.float32)
         dt = timed_chain(lambda v: ap(v) * 1e-3, u)
@@ -290,6 +332,9 @@ if __name__ == "__main__":
         print(f"--- {n}^2 p={p} (K={r['K']}) ---")
         for k in ("stage1_full_us_per_mdof", "stage1_norolls_us_per_mdof",
                   "stage1_rollsonly_us_per_mdof",
+                  "stage1_rowsonly_us_per_mdof",
+                  "stage1_dotsonly_us_per_mdof",
+                  "stage1_splitsonly_us_per_mdof",
                   "roll_us_per_pass_per_mdof", "fma_us_per_pass_per_mdof",
                   "mxu3p_us_per_mdof", "mxu3p_gdof_per_s",
                   "mxucol_us_per_mdof", "mxucol_gdof_per_s"):

@@ -62,8 +62,7 @@ def main():
     for tile_r in (96, 112, 128, 160, 192, 256):
         apply_padded, pad, unpad, shape = make_padded_laplace2(
             grid, jnp.float32, tile_r=tile_r, rows="mxu3p")
-        u = jnp.asarray(rng.standard_normal(grid.nodes + (1,)),
-                        jnp.float32)
+        u = jnp.asarray(rng.standard_normal(grid.nodes), jnp.float32)
         up = pad(u)
         f = jax.jit(apply_padded)
         t = timed_chain(f, up)

@@ -43,7 +43,8 @@ def _round_up(x, m):
 
 def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
                          interpret: bool = False, rows: str = "vpu",
-                         mxu_precision=None, bands=None):
+                         mxu_precision=None, bands=None,
+                         pipeline_interleave=None):
     """Returns (apply_padded, pad, unpad, padded_shape) for the 2D GD
     Laplace at any odd degree p <= 15.
 
@@ -80,6 +81,12 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
     R_ext = Rp + 2 * H
     NB = 1 if n_tiles == 1 else 2
     T_ext = tile_r + 2 * H
+    # mxu3p cross-tile pipelining: interleave the previous tile's dot
+    # issues into the roll loop at long K (measured v5e: required for
+    # any MXU/VPU overlap at K >= 11; the up-front dot block already
+    # overlaps at K = 7) — see stage_split_and_dots
+    interleave = (pipeline_interleave if pipeline_interleave is not None
+                  else 2 * p + 1 >= 9)
 
     if bands is None:
         bands = (stiffness_1d(p, grid.cells[0], grid.h[0]).band,
@@ -412,11 +419,10 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
                                             preferred_element_type=dtype)
             return acc
 
-        def stage_and_split(slot):
+        def write_split(slot, V, W):
             # the hi parts stay register values through the subtraction
             # (reading vwhi back from VMEM costs an extra full-array VPU
             # read per split on a pass-throughput-bound kernel)
-            V, W = stage1(bufs[slot], b1s_ref, b1m_ref)
             Vhi = V.astype(split_dt)
             Whi = W.astype(split_dt)
             vwhi[slot, 0:T_ext, :] = Vhi
@@ -426,12 +432,59 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
             vwlo[slot, T_ext : 2 * T_ext, :] = (
                 W - Whi.astype(dtype)).astype(split_dt)
 
+        def stage_and_split(slot):
+            V, W = stage1(bufs[slot], b1s_ref, b1m_ref)
+            write_split(slot, V, W)
+
+        def stage_split_and_dots(slot, t_slot, t_index):
+            # Fused variant: tile t_slot's three bf16 dot issues are
+            # spread INSIDE tile slot's roll loop.  With the dots issued
+            # as one up-front block, Mosaic overlaps them with the roll
+            # sweeps at K=7 but schedules them back-to-back at K=11
+            # (measured: p=5 total = column + row stage exactly, zero
+            # overlap; p=3 hides 5.5 us/MDoF).  Interleaving the issues
+            # between roll iterations restores the drain at long K.
+            rs = pl.multiple_of(t_index * tile_r, 8)
+            bh = bhi_ref[pl.ds(rs, tile_r), :]
+            bl = blo_ref[pl.ds(rs, tile_r), :]
+            hi = vwhi[t_slot]
+            lo = vwlo[t_slot]
+            dn = (((1,), (0,)), ((), ()))
+            uw = bufs[slot]
+            V = jnp.zeros((T_ext, W2), dtype)
+            W = jnp.zeros((T_ext, W2), dtype)
+            acc = None
+            third = max(1, (K + 2) // 3)  # issue at l = 0, third, 2*third
+            for l in range(K):
+                if l == 0:
+                    acc = jax.lax.dot_general(
+                        bh, hi, dimension_numbers=dn,
+                        preferred_element_type=dtype)
+                elif l == third:
+                    acc = acc + jax.lax.dot_general(
+                        bh, lo, dimension_numbers=dn,
+                        preferred_element_type=dtype)
+                elif l == 2 * third:
+                    acc = acc + jax.lax.dot_general(
+                        bl, hi, dimension_numbers=dn,
+                        preferred_element_type=dtype)
+                shift = (p - l) % W2
+                r = uw if shift == 0 else pltpu.roll(uw, shift, axis=1)
+                V = V + b1m_ref[l : l + 1, :] * r
+                W = W + b1s_ref[l : l + 1, :] * r
+            write_split(slot, V, W)
+            return acc
+
         @pl.when(i > 0)
         def _():
-            acc_prev = dots(prev, jnp.maximum(i - 1, 0))
-            # stage tile i's operands (VPU) — the scheduler overlaps the
-            # in-flight matmuls with these rolls
-            stage_and_split(slot)
+            if interleave:
+                acc_prev = stage_split_and_dots(
+                    slot, prev, jnp.maximum(i - 1, 0))
+            else:
+                acc_prev = dots(prev, jnp.maximum(i - 1, 0))
+                # stage tile i's operands (VPU) — the scheduler overlaps
+                # the in-flight matmuls with these rolls
+                stage_and_split(slot)
 
             @pl.when(i >= 3)
             def _():
