@@ -39,19 +39,47 @@ def _gd_mid_table(grid: Grid, axis: int):
     return T[cats], grid.offsets(axis)
 
 
+def _realigned_band(table, offsets):
+    """Re-key the (n_cells, p+1) windowed stencil T[c, k] (window start
+    offsets[c]) as a cell-relative band Tb[c, j] with global index
+    c + lo + j — turns the transfer applies into static slice FMAs
+    (gather/scatter transfers measured ~500 us of a 766 us V-cycle at
+    1024^2 on v5e; the banded form is a handful of shifted adds)."""
+    table = np.asarray(table)
+    offsets = np.asarray(offsets)
+    n_cells, p1 = table.shape
+    c = np.arange(n_cells)
+    rel = offsets[:, None] + np.arange(p1)[None, :] - c[:, None]
+    lo, hi = int(rel.min()), int(rel.max())
+    Tb = np.zeros((n_cells, hi - lo + 1), table.dtype)
+    Tb[c[:, None], rel - lo] = table
+    return Tb, lo
+
+
 def gd_prolong_axis(u, axis, table, offsets, n_fine_nodes):
     um = jnp.moveaxis(u, axis, 0)
-    p1 = table.shape[1]
-    win = offsets[:, None] + np.arange(p1)[None, :]
-    gathered = um[jnp.asarray(win.reshape(-1))].reshape(
-        win.shape + um.shape[1:])
-    mid = jnp.einsum("cj,cj...->c...", jnp.asarray(table), gathered,
-                     precision=jax.lax.Precision.HIGHEST)
     nc = um.shape[0]
-    n_cells = mid.shape[0]  # == nc - 1
-    out = jnp.zeros((n_fine_nodes,) + um.shape[1:], u.dtype)
-    out = out.at[jnp.arange(nc) * 2].set(um)
-    out = out.at[jnp.arange(n_cells) * 2 + 1].set(mid)
+    n_cells = nc - 1
+    assert n_fine_nodes == 2 * nc - 1
+    Tb, lo = _realigned_band(table, offsets)
+    width = Tb.shape[1]
+    hi = lo + width - 1
+    pl_, pr = max(-lo, 0), max(hi, 0)
+    up = jnp.pad(um, [(pl_, pr)] + [(0, 0)] * (um.ndim - 1))
+    tail = (1,) * (um.ndim - 1)
+    mid = jnp.zeros((n_cells,) + um.shape[1:], u.dtype)
+    for j in range(width):
+        coef = Tb[:, j]
+        if not coef.any():
+            continue
+        seg = jax.lax.slice_in_dim(up, pl_ + lo + j,
+                                   pl_ + lo + j + n_cells, axis=0)
+        mid = mid + jnp.asarray(coef, u.dtype).reshape(
+            (n_cells,) + tail) * seg
+    # interleave: out[2i] = um[i], out[2c+1] = mid[c]
+    body = jnp.stack([um[:n_cells], mid], axis=1).reshape(
+        (2 * n_cells,) + um.shape[1:])
+    out = jnp.concatenate([body, um[n_cells:]], axis=0)
     return jnp.moveaxis(out, 0, axis)
 
 
@@ -61,17 +89,26 @@ def gd_restrict_axis(y, axis, table, offsets):
     P^T A_f P ~= the rediscretized coarse operator, verified numerically)."""
     ym = jnp.moveaxis(y, axis, 0)
     nf = ym.shape[0]
-    nc = (nf - 1) // 2 + 1
-    even = ym[0:nf:2]
-    odd = ym[1:nf:2]  # (n_cells, ...)
-    p1 = table.shape[1]
-    win = offsets[:, None] + np.arange(p1)[None, :]
-    contrib = jnp.asarray(table).reshape(
-        table.shape + (1,) * (odd.ndim - 1)) * odd[:, None]
-    acc = even
-    acc = acc.at[jnp.asarray(win.reshape(-1))].add(
-        contrib.reshape((-1,) + odd.shape[1:]))
-    return jnp.moveaxis(acc, 0, axis)
+    even = ym[0:nf:2]                      # (nc, ...)
+    odd = ym[1:nf:2]                       # (n_cells, ...)
+    n_cells = odd.shape[0]
+    nc = n_cells + 1
+    Tb, lo = _realigned_band(table, offsets)
+    width = Tb.shape[1]
+    hi = lo + width - 1
+    pl_ = max(-lo, 0)
+    pr = max(0, n_cells - 1 + hi - (nc - 1))
+    tail = (1,) * (odd.ndim - 1)
+    acc = jnp.pad(even, [(pl_, pr)] + [(0, 0)] * (odd.ndim - 1))
+    for j in range(width):
+        coef = Tb[:, j]
+        if not coef.any():
+            continue
+        w = jnp.asarray(coef, y.dtype).reshape((n_cells,) + tail) * odd
+        s = pl_ + lo + j
+        acc = acc.at[s : s + n_cells].add(w)
+    out = acc[pl_ : pl_ + nc] if (pl_ or pr) else acc
+    return jnp.moveaxis(out, 0, axis)
 
 
 class PoissonMultigrid:
