@@ -44,7 +44,7 @@ def _round_up(x, m):
 def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
                          interpret: bool = False, rows: str = "vpu",
                          mxu_precision=None, bands=None,
-                         pipeline_interleave=None):
+                         pipeline_interleave=None, static_parity=False):
     """Returns (apply_padded, pad, unpad, padded_shape) for the 2D GD
     Laplace at any odd degree p <= 15.
 
@@ -475,23 +475,39 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
             write_split(slot, V, W)
             return acc
 
-        @pl.when(i > 0)
-        def _():
+        def main_body(slot_, prev_):
             if interleave:
                 acc_prev = stage_split_and_dots(
-                    slot, prev, jnp.maximum(i - 1, 0))
+                    slot_, prev_, jnp.maximum(i - 1, 0))
             else:
-                acc_prev = dots(prev, jnp.maximum(i - 1, 0))
+                acc_prev = dots(prev_, jnp.maximum(i - 1, 0))
                 # stage tile i's operands (VPU) — the scheduler overlaps
                 # the in-flight matmuls with these rolls
-                stage_and_split(slot)
+                stage_and_split(slot_)
 
             @pl.when(i >= 3)
             def _():
-                out_copy(i - 3, prev).wait()
+                out_copy(i - 3, prev_).wait()
 
-            ytile[prev] = acc_prev
-            out_copy(i - 1, prev).start()
+            ytile[prev_] = acc_prev
+            out_copy(i - 1, prev_).start()
+
+        if static_parity:
+            # literal slot indices per parity branch: the vwhi/vwlo
+            # read (prev) and write (slot) slices become statically
+            # disjoint, removing any conservative WAR ordering between
+            # the in-flight dots and the split stores
+            @pl.when(jnp.logical_and(i > 0, i % 2 == 1))
+            def _():
+                main_body(1, 0)
+
+            @pl.when(jnp.logical_and(i > 0, i % 2 == 0))
+            def _():
+                main_body(0, 1)
+        else:
+            @pl.when(i > 0)
+            def _():
+                main_body(slot, prev)
 
         @pl.when(i == 0)
         def _():
