@@ -44,7 +44,7 @@ def _round_up(x, m):
 def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
                          interpret: bool = False, rows: str = "vpu",
                          mxu_precision=None, bands=None,
-                         pipeline_interleave=None, static_parity=False):
+                         pipeline_interleave=None, static_parity=True):
     """Returns (apply_padded, pad, unpad, padded_shape) for the 2D GD
     Laplace at any odd degree p <= 15.
 
