@@ -30,6 +30,47 @@ def test_transfer_adjointness():
     np.testing.assert_allclose(lhs, rhs, rtol=1e-13)
 
 
+@pytest.mark.parametrize("p", [1, 3, 5])
+def test_transfer_matches_window_definition(p):
+    """The banded slice-FMA transfers (round 4, gather/scatter-free)
+    must reproduce the windowed definition exactly: out[2j] = u[j],
+    out[2c+1] = sum_k T[c,k] u[offsets[c]+k], and R = P^T."""
+    g = Grid(p, (8,), (0.0,), (1.0,))
+    nc, nf = 9, 17
+    tab, off = _gd_mid_table(g, 0)
+    # P columns via unit vectors
+    P = np.stack([
+        np.asarray(gd_prolong_axis(
+            jnp.zeros(nc).at[j].set(1.0), 0, tab, off, nf))
+        for j in range(nc)], axis=1)
+    P_ref = np.zeros((nf, nc))
+    P_ref[2 * np.arange(nc), np.arange(nc)] = 1.0
+    for c in range(nc - 1):
+        for k in range(p + 1):
+            P_ref[2 * c + 1, off[c] + k] += tab[c, k]
+    np.testing.assert_allclose(P, P_ref, atol=1e-14)
+    R = np.stack([
+        np.asarray(gd_restrict_axis(
+            jnp.zeros(nf).at[i].set(1.0), 0, tab, off))
+        for i in range(nf)], axis=1)
+    np.testing.assert_allclose(R, P_ref.T, atol=1e-14)
+
+
+def test_stage_micros_interpret():
+    """The mxu_micro stripped-kernel modes (the committed evidence for
+    the measured kernel floors) must stay runnable."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from benchmarks.mxu_micro import make_stage1_micro
+    g = Grid(3, (48, 48), (0.0, 0.0), (1.0, 1.0))
+    u = jnp.ones((0, 0))
+    for mode in ("full", "norolls", "rollsonly",
+                 "rowsonly", "dotsonly", "splitsonly"):
+        ap, shape = make_stage1_micro(g, mode, tile_r=16, interpret=True)
+        y = ap(jnp.ones(shape, jnp.float32))
+        assert y.shape == shape and bool(jnp.isfinite(y[8:-8]).all()), mode
+
+
 @pytest.mark.parametrize("n", [32, 64, 128])
 def test_mg_cg_mesh_independent(n):
     grid = Grid(3, (n, n), (0.0, 0.0), (1.0, 1.0))
