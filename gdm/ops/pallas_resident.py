@@ -126,24 +126,29 @@ def make_resident_cg(stA, stG=None, stGT=None, max_iter: int = 50,
         tol = jnp.maximum(jnp.asarray(abs_tol, dtype),
                           jnp.asarray(rel_tol, dtype) * nr0)
 
-        def body(i, state):
-            x, r_, z, p, rz, nr = state
-            done = nr <= tol
+        def cond(state):
+            i, x, r_, z, p, rz, nr = state
+            return jnp.logical_and(i < max_iter, nr > tol)
+
+        def body(state):
+            # early exit: a fori_loop with masked no-op iterations pays
+            # the full max_iter of band applies even after convergence
+            # (~2x the real work at typical iteration counts)
+            i, x, r_, z, p, rz, nr = state
             Ap = A(p)
             pAp = jnp.sum(p * Ap)
-            alpha = jnp.where(done | (pAp <= 0.0), 0.0, rz / pAp)
+            alpha = jnp.where(pAp <= 0.0, 0.0, rz / pAp)
             x = x + alpha * p
             r_ = r_ - alpha * Ap
             z = B(r_)
             rz_new = jnp.sum(r_ * z)
-            beta = jnp.where(done | (rz <= 0.0), 0.0, rz_new / rz)
-            p = jnp.where(done, p, z + beta * p)
-            rz = jnp.where(done, rz, rz_new)
-            nr = jnp.where(done, nr, jnp.sqrt(jnp.sum(r_ * r_)))
-            return (x, r_, z, p, rz, nr)
+            beta = jnp.where(rz <= 0.0, 0.0, rz_new / rz)
+            p = z + beta * p
+            nr = jnp.sqrt(jnp.sum(r_ * r_))
+            return (i + 1, x, r_, z, p, rz_new, nr)
 
-        state = (x, r_, z, z, rz, nr0)
-        x, r_, z, p, rz, nr = jax.lax.fori_loop(0, max_iter, body, state)
+        state = (jnp.int32(0), x, r_, z, z, rz, nr0)
+        _, x, r_, z, p, rz, nr = jax.lax.while_loop(cond, body, state)
         x_out[:] = x
 
     if not with_pre:
