@@ -74,20 +74,32 @@ def fsai_factors(st: StencilOperator, R: int = None):
     valid = np.ones((N, m), bool)
     for d in range(dim):
         valid &= (j[d] >= 0) & (j[d] < nodes[d])
-    jc = [np.clip(j[d], 0, nodes[d] - 1) for d in range(dim)]
-    jflat = np.ravel_multi_index(tuple(jc), nodes)  # (N, m)
 
     # local Gram blocks Aloc[n, a, b] = A[(j_a), (j_b)]; the tap offset
-    # (j_b - j_a) is constant per (a, b) pair, so loop pairs, gather rows
+    # (j_b - j_a) is constant per (a, b) pair, and j_a = n + doff_a is a
+    # CONSTANT flat shift wherever the window is in range — so each
+    # pair's column of Aloc is a shifted contiguous slice of one band
+    # column (rows where the shift crosses an axis boundary produce
+    # wrapped neighbors and are zeroed by the validity mask below).
+    # Fancy-index gathers here measured 35-245 s at the 200^2 p=5
+    # production size; the slice form is seconds.
     strides = np.array([K ** (dim - 1 - d) for d in range(dim)])
+    node_strides = np.array(
+        [int(np.prod(nodes[d + 1:])) for d in range(dim)])
+    doffs = offs_a @ node_strides                          # (m,)
+    dd_all = offs_a[None, :, :] - offs_a[:, None, :]       # (m, m, dim)
+    in_band = (np.abs(dd_all) <= r).all(axis=2)            # (m, m)
+    aa, bb = np.nonzero(in_band)
+    tt = ((dd_all[aa, bb] + r) * strides).sum(axis=1)
+    # (N, m, m) strided slice writes: measured 16.8 s vs 245 s for the
+    # fancy-index gather and 406 s for an (m, m, N)-layout fill +
+    # transpose, same process, production size (within-process A/B —
+    # wall times on this box swing 4x between runs)
     Aloc = np.zeros((N, m, m))
-    for a in range(m):
-        for b in range(m):
-            dd = offs_a[b] - offs_a[a]
-            if np.any(np.abs(dd) > r):
-                continue
-            t = int(np.dot(dd + r, strides))
-            Aloc[:, a, b] = band[jflat[:, a], t]
+    for k in range(len(aa)):
+        d0 = int(doffs[aa[k]])
+        lo, hi = max(0, -d0), min(N, N - d0)
+        Aloc[lo:hi, aa[k], bb[k]] = band[lo + d0 : hi + d0, tt[k]]
     pair_valid = valid[:, :, None] & valid[:, None, :]
     Aloc *= pair_valid
     diag = np.arange(m)

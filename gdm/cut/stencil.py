@@ -71,30 +71,55 @@ class StencilOperator:
         return y.reshape(-1)
 
 
+def _tap_table(window, grid, radius):
+    """(m, m) tap indices for ONE window's (output, input) node pairs."""
+    dim = grid.dim
+    K = 2 * radius + 1
+    w = np.asarray(window, np.int64)
+    coords = np.stack(np.unravel_index(w, grid.nodes), axis=0)  # (dim, m)
+    off = np.zeros((len(w), len(w)), dtype=np.int64)
+    for d in range(dim):
+        off = off * K + (coords[d][None, :] - coords[d][:, None] + radius)
+    return off
+
+
 def _accumulate(band_flat, windows, mats, grid, radius):
-    """band_flat: (n_nodes, K^dim); windows (n, m); mats (n, m, m)."""
+    """band_flat: (n_nodes, K^dim); windows (n, m); mats (n, m, m).
+
+    Every window this is called with is an axis-aligned contiguous node
+    block, so the relative (output, input) tap table is the SAME for
+    all n windows — computed once from the first window (verified in
+    O(n*m); general per-window path as fallback).  The scatter-add is a
+    single bincount on the fused (row, tap) index: per-window div/mod
+    offset computation + np.add.at measured ~360 s + 55 s at the 200^2
+    p=5 production assembly; this form is ~10 s."""
     dim = grid.dim
     K = 2 * radius + 1
     n, m = windows.shape
-    # node coords from C-order flat indices
-    strides = [1] * dim
-    for d in range(dim - 2, -1, -1):
-        strides[d] = strides[d + 1] * grid.nodes[d + 1]
-    wi = windows[:, :, None]  # (n, m, 1) output nodes
-    wj = windows[:, None, :]  # (n, 1, m) input nodes
-    # per-axis offsets of input relative to output
-    off_flat = np.zeros((n, m, m), dtype=np.int64)
-    rem_i = wi.astype(np.int64)
-    rem_j = wj.astype(np.int64)
-    for d in range(dim):
-        ci = rem_i // strides[d]
-        cj = rem_j // strides[d]
-        rem_i = rem_i % strides[d]
-        rem_j = rem_j % strides[d]
-        off_flat = off_flat * K + (cj - ci + radius)
-    rows = np.broadcast_to(wi, (n, m, m))
-    np.add.at(band_flat, (rows.reshape(-1), off_flat.reshape(-1)),
-              mats.reshape(-1))
+    rel = windows - windows[:, :1]
+    if n and (rel == rel[0]).all():
+        off = _tap_table(windows[0], grid, radius)        # (m, m)
+        idx = (windows[:, :, None].astype(np.int64) * band_flat.shape[1]
+               + off[None, :, :])
+    else:
+        # general path: per-window per-axis offsets
+        strides = [1] * dim
+        for d in range(dim - 2, -1, -1):
+            strides[d] = strides[d + 1] * grid.nodes[d + 1]
+        wi = windows[:, :, None].astype(np.int64)
+        wj = windows[:, None, :].astype(np.int64)
+        off_flat = np.zeros((n, m, m), dtype=np.int64)
+        rem_i, rem_j = wi.copy(), wj.copy()
+        for d in range(dim):
+            ci = rem_i // strides[d]
+            cj = rem_j // strides[d]
+            rem_i = rem_i % strides[d]
+            rem_j = rem_j % strides[d]
+            off_flat = off_flat * K + (cj - ci + radius)
+        idx = wi * band_flat.shape[1] + off_flat
+    band_flat += np.bincount(
+        idx.reshape(-1), weights=np.asarray(mats, np.float64).reshape(-1),
+        minlength=band_flat.size).reshape(band_flat.shape)
 
 
 def assemble_stencil(op: CutOperators, kind: str, gamma: float,
