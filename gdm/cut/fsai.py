@@ -181,8 +181,13 @@ def fsai_cg_solver(st: StencilOperator, max_iter: int, rel_tol: float,
         if platform in ("tpu", "axon"):
             from ..ops.pallas_resident import make_resident_cg
 
+            # full max_iter: the resident loop exits on convergence, so
+            # a high bound costs nothing (the old fixed-trip-count
+            # kernel capped at 40, which silently under-converged the
+            # composite DoD out-domain mass at 200^2 p=5 — ~1e-2
+            # trajectory damping, caught against the x64 oracle)
             res = make_resident_cg(
-                st, G, GT, max_iter=min(max_iter, 40),
+                st, G, GT, max_iter=max_iter,
                 rel_tol=max(rel_tol, 1e-6), abs_tol=max(abs_tol, 1e-12))
             if res is not None:
                 solve_r, pad_r, unpad_r, _ = res

@@ -233,14 +233,27 @@ class AdvectionProblem:
             apply_fn = fast_stencil_apply(st, op, "mass") or st.apply
         else:
             apply_fn = lambda v: op.mass_apply(v, gm)
-        # FSAI-preconditioned CG (the reference's ILU role,
-        # parameters.h:32); on TPU the whole solve is one VMEM-resident
-        # pallas launch when the band + factors fit
-        from ..cut.fsai import fsai_cg_solver
+        # cut-window Schwarz-preconditioned CG (the reference's ILU
+        # role, parameters.h:32).  NOT the resident FSAI-CG: on the DoD
+        # composite's p=5 GP'd cut mass the f32 resident FSAI solve is
+        # unstable (its recurrence residual passes 1e-6 while the true
+        # residual grows — measured junk at 1e-3 of trajectory scale by
+        # t=0.1 and NaN by t=0.2 with the iteration cap removed, against
+        # the x64 oracle 1.6e-6; the Schwarz path reproduces the x64
+        # trajectory).  The wave family keeps the resident path, where
+        # the TPU-executed goldens pin it digit-for-digit.
+        pre = schwarz_jacobi_preconditioner(st, op.w_cut)
 
-        return fsai_cg_solver(
-            st, pp.solver_max_iterations, pp.solver_rel_tolerance,
-            pp.solver_abs_tolerance, apply_fn=apply_fn)
+        def solve(b):
+            x, _ = solvers.cg(
+                apply_fn, b, precond=pre,
+                max_iter=pp.solver_max_iterations,
+                abs_tol=pp.solver_abs_tolerance,
+                rel_tol=pp.solver_rel_tolerance,
+            )
+            return x
+
+        return solve
 
     def postprocess(self, t, u, location=INSIDE):
         op = self.op_in if location == INSIDE else self.op_out

@@ -268,7 +268,7 @@ class WaveProblem:
                     G, GT = fsai_factors(st)
                     res = make_resident_cg(
                         st, G, GT,
-                        max_iter=min(pp.solver_max_iterations, 40),
+                        max_iter=pp.solver_max_iterations,
                         rel_tol=max(pp.solver_rel_tolerance, 1e-6),
                         abs_tol=max(pp.solver_abs_tolerance, 1e-12),
                     )
