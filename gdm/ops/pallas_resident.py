@@ -66,6 +66,17 @@ def make_resident_cg(stA, stG=None, stGT=None, max_iter: int = 50,
     H = roundup(r, 8), data lanes [r, r + N1)), or None when the
     problem does not fit the VMEM budget.  solve_padded(b_pad, x0_pad)
     -> x_pad.
+
+    ACCURACY CAVEAT: everything (applies, dots, preconditioner) runs in
+    f32 with the recurrence-residual stopping rule, which can pass the
+    tolerance while the TRUE residual stagnates or grows on severely
+    ill-conditioned systems.  Measured against the x64 oracle: the wave
+    family's GP'd cut mass solves are pinned digit-for-digit by the
+    TPU-executed goldens, but the composite-advection DoD p=5 GP'd mass
+    DIVERGES here (junk at 1e-3 of trajectory scale by t=0.1) and is
+    routed through the Schwarz-preconditioned streamed CG instead
+    (gdm/problems/advection.py::_mass_solver).  Validate any new
+    consumer against an x64 trajectory before trusting this path.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
