@@ -155,48 +155,228 @@ def fsai_preconditioner(st: StencilOperator, R: int = None):
     return precondition
 
 
-def fsai_cg_solver(st: StencilOperator, max_iter: int, rel_tol: float,
-                   abs_tol: float, apply_fn=None, R: int = None,
-                   resident: bool = True):
-    """The best serial solve callable for an SPD band system.
+class VerifiedSolver:
+    """Self-verifying solve callable for an SPD band system.
 
-    On TPU (2D, VMEM-feasible): the whole FSAI-preconditioned CG as ONE
-    VMEM-resident pallas launch (gdm/ops/pallas_resident.py).  Elsewhere:
-    host-level CG (gdm.solvers.cg) with the FSAI preconditioner and
-    ``apply_fn`` (defaults to st.apply) — same deal.II ReductionControl
-    stopping rule either way.
+    ``solve(b) -> x`` / ``solve_with_info(b) -> (x, info)`` where info
+    carries ``iterations`` (int32, fast-path CG count), ``residual``
+    (TRUE residual norm of the fast path, not the recurrence),
+    ``fallback`` (bool: the runtime check rejected the fast solve and
+    the answer came from the exact-arithmetic streamed path), and
+    ``fallback_iterations``.  All jit/scan-traceable.
+
+    ``path`` records the measured routing decision ("resident-verified"
+    when the VMEM-resident FSAI-CG passed its setup probe, "streamed"
+    otherwise) and ``probe`` the probe evidence.
+    """
+
+    def __init__(self, solve_with_info, path: str, probe: dict):
+        self.solve_with_info = solve_with_info
+        self.path = path
+        self.probe = probe
+
+    def __call__(self, b):
+        return self.solve_with_info(b)[0]
+
+
+def _streamed_solver(st: StencilOperator, windows, max_iter, rel_tol,
+                     abs_tol, apply_fn=None, precond=None):
+    """The exact-arithmetic (recurrence-honest at working precision)
+    band-CG path: on TPU, whole-CG in the fused streamed kernel's padded
+    layout with the band-form Schwarz preconditioner; elsewhere host CG.
+    Returns solve_with_info(b) -> (x, {"iterations": i})."""
+    from .. import solvers
+    from .fastapply import fast_stencil_bundle
+    from .stencil import schwarz_band, schwarz_jacobi_preconditioner
+
+    bundle = fast_stencil_bundle(st)
+    if bundle is not None and precond is None:
+        apS, pad_s, unpad_s = bundle
+        if windows is not None and np.asarray(windows).size:
+            bpre = fast_stencil_bundle(schwarz_band(st, windows))
+        else:
+            bpre = None
+        if bpre is not None:
+            pre_pad = bpre[0]
+        else:
+            from ..ops.pallas_cutband import make_padded_stencil2
+
+            G, GT = fsai_factors(st)
+            apG = make_padded_stencil2(G)[0]
+            apGT = make_padded_stencil2(GT)[0]
+            pre_pad = lambda v: apGT(apG(v))  # noqa: E731
+
+        def solve_with_info(b):
+            x, info = solvers.cg(
+                apS, pad_s(b), precond=pre_pad, max_iter=max_iter,
+                abs_tol=abs_tol, rel_tol=rel_tol)
+            return unpad_s(x), info
+
+        return solve_with_info
+
+    if apply_fn is None:
+        apply_fn = st.apply
+    if precond is None:
+        if windows is not None and np.asarray(windows).size:
+            precond = schwarz_jacobi_preconditioner(st, windows)
+        else:
+            precond = fsai_preconditioner(st)
+    # the host band apply runs at the default float width (f64 under
+    # x64): promote b so the CG carry dtypes stay fixed
+    host_dtype = jnp.zeros(0).dtype
+
+    def solve_with_info(b):
+        x, info = solvers.cg(
+            apply_fn, b.astype(host_dtype), precond=precond,
+            max_iter=max_iter, abs_tol=abs_tol, rel_tol=rel_tol)
+        return x, info
+
+    return solve_with_info
+
+
+def verified_fsai_solver(st: StencilOperator, windows=None,
+                         max_iter: int = 50, rel_tol: float = 1e-5,
+                         abs_tol: float = 1e-12, apply_fn=None,
+                         R: int = None, slack: float = 10.0,
+                         probe: bool = True, interpret: bool = False,
+                         resident_max_iter: int = None):
+    """Self-verifying best solve for an SPD band system (VerifiedSolver).
+
+    Fast path: the whole FSAI-preconditioned CG as ONE VMEM-resident
+    pallas launch (gdm/ops/pallas_resident.py).  That path's f32
+    recurrence-residual stopping rule has a demonstrated silent-wrong-
+    answer mode on severely ill-conditioned GP'd cut systems (the
+    round-4 DoD p=5 composite mass: residual reads converged while the
+    true residual grows), so nothing here trusts it:
+
+    * setup-time PROBE: one resident solve on a deterministic random
+      RHS; if its TRUE residual (computed in-kernel by a fresh exact-f32
+      band apply) misses max(abs_tol, rel_tol*||r0||)*slack, the
+      resident path is disabled for this operator and everything routes
+      through the streamed Schwarz/FSAI CG — the routing the round-4
+      fix hand-coded per family is now enforced by measurement;
+    * runtime CHECK: every accepted resident solve carries its true
+      residual; on failure a ``lax.cond`` reruns the solve through the
+      streamed path from x0 = 0 (junk-proof), inside jit/scan.
+
+    ``windows``: cut-cell dof windows for the streamed path's Schwarz
+    preconditioner (falls back to FSAI preconditioning when None).
+    Reference role: deal.II SolverControl's convergence enforcement
+    inside the Trilinos CG driver (problem.h:471-502).
     """
     import os
 
-    from .. import solvers
+    rel_f = max(rel_tol, 1e-6)
+    abs_f = max(abs_tol, 1e-12)
+    fallback_swi = _streamed_solver(st, windows, max_iter, rel_tol,
+                                    abs_tol, apply_fn=apply_fn)
 
-    G, GT = fsai_factors(st, R)
-
-    if (resident and st.grid.dim == 2
+    res = None
+    if (st.grid.dim == 2
             and os.environ.get("GDM_DISABLE_PALLAS") != "1"):
         try:
             platform = jax.devices()[0].platform
         except Exception:
             platform = None
-        if platform in ("tpu", "axon"):
+        if interpret or platform in ("tpu", "axon"):
             from ..ops.pallas_resident import make_resident_cg
 
+            G, GT = fsai_factors(st, R)
             # full max_iter: the resident loop exits on convergence, so
             # a high bound costs nothing (the old fixed-trip-count
             # kernel capped at 40, which silently under-converged the
             # composite DoD out-domain mass at 200^2 p=5 — ~1e-2
-            # trajectory damping, caught against the x64 oracle)
+            # trajectory damping, caught against the x64 oracle).
+            # resident_max_iter exists to cripple the resident path in
+            # detection tests.
             res = make_resident_cg(
-                st, G, GT, max_iter=max_iter,
-                rel_tol=max(rel_tol, 1e-6), abs_tol=max(abs_tol, 1e-12))
-            if res is not None:
-                solve_r, pad_r, unpad_r, _ = res
+                st, G, GT,
+                max_iter=(resident_max_iter if resident_max_iter
+                          is not None else max_iter),
+                rel_tol=rel_f, abs_tol=abs_f, interpret=interpret)
 
-                def solve(b):
-                    return unpad_r(solve_r(pad_r(b))).reshape(-1)
+    if res is None:
+        def solve_with_info(b):
+            x, info = fallback_swi(b)
+            return x.reshape(-1), {
+                "iterations": info["iterations"],
+                "residual": info["residual"],
+                "fallback": jnp.bool_(False),
+                "fallback_iterations": jnp.int32(0)}
 
-                return solve
+        return VerifiedSolver(solve_with_info, "streamed",
+                              {"ok": None, "reason": "resident-unavailable"})
 
+    solve_r, pad_r, unpad_r, _ = res
+
+    probe_info = {"ok": True, "reason": "probe-disabled"}
+    if probe:
+        rng = np.random.default_rng(0)
+        b_p = jnp.asarray(
+            rng.standard_normal(st.grid.n_nodes), jnp.float32)
+        _, stats = solve_r(pad_r(b_p))
+        nr_true = float(stats[0, 0])
+        nr0 = float(stats[0, 2])
+        tol_p = max(abs_f, rel_f * nr0)
+        probe_info = {"ok": nr_true <= slack * tol_p,
+                      "residual": nr_true, "tol": tol_p,
+                      "iterations": int(stats[0, 1]),
+                      "reason": "probe"}
+        if not probe_info["ok"]:
+            def solve_with_info(b):
+                x, info = fallback_swi(b)
+                return x.reshape(-1), {
+                    "iterations": info["iterations"],
+                    "residual": info["residual"],
+                    "fallback": jnp.bool_(False),
+                    "fallback_iterations": jnp.int32(0)}
+
+            return VerifiedSolver(solve_with_info, "streamed", probe_info)
+
+    def solve_with_info(b):
+        xp, stats = solve_r(pad_r(b))
+        x = unpad_r(xp).reshape(-1).astype(b.dtype)
+        nr_true = stats[0, 0].astype(b.dtype)
+        it_res = stats[0, 1].astype(jnp.int32)
+        nr0 = stats[0, 2].astype(b.dtype)
+        tol = jnp.maximum(jnp.asarray(abs_f, b.dtype),
+                          jnp.asarray(rel_f, b.dtype) * nr0)
+        bad = nr_true > slack * tol
+
+        def _fb(bb):
+            xf, info = fallback_swi(bb)
+            return (xf.reshape(-1).astype(b.dtype),
+                    info["iterations"].astype(jnp.int32))
+
+        def _ok(bb):
+            return x, jnp.int32(0)
+
+        xf, it_fb = jax.lax.cond(bad, _fb, _ok, b)
+        return xf, {"iterations": it_res, "residual": nr_true,
+                    "fallback": bad, "fallback_iterations": it_fb}
+
+    return VerifiedSolver(solve_with_info, "resident-verified", probe_info)
+
+
+def fsai_cg_solver(st: StencilOperator, max_iter: int, rel_tol: float,
+                   abs_tol: float, apply_fn=None, R: int = None,
+                   resident: bool = True, windows=None):
+    """The best serial solve callable for an SPD band system.
+
+    Routes through :func:`verified_fsai_solver` (probe-routed,
+    runtime-true-residual-checked VMEM-resident FSAI-CG with automatic
+    streamed fallback) when ``resident``; host-level CG
+    (gdm.solvers.cg) with the FSAI preconditioner otherwise — same
+    deal.II ReductionControl stopping rule either way.
+    """
+    from .. import solvers
+
+    if resident:
+        return verified_fsai_solver(
+            st, windows=windows, max_iter=max_iter, rel_tol=rel_tol,
+            abs_tol=abs_tol, apply_fn=apply_fn, R=R)
+
+    G, GT = fsai_factors(st, R)
     if apply_fn is None:
         apply_fn = st.apply
 

@@ -65,18 +65,29 @@ def make_resident_cg(stA, stG=None, stGT=None, max_iter: int = 50,
     layout as gdm.ops.pallas_cutband.make_padded_stencil2 (guard rows
     H = roundup(r, 8), data lanes [r, r + N1)), or None when the
     problem does not fit the VMEM budget.  solve_padded(b_pad, x0_pad)
-    -> x_pad.
+    -> (x_pad, stats) where stats is an (8, 128) f32 tile carrying the
+    solve's self-verification record:
+
+      stats[0, 0] = ||b - A x||   TRUE residual, recomputed by one
+                                  fresh in-kernel band apply AFTER the
+                                  CG loop exits (NOT the recurrence
+                                  residual — see the caveat below);
+      stats[0, 1] = iterations    CG iterations taken;
+      stats[0, 2] = ||b - A x0||  initial residual norm (the quantity
+                                  the rel_tol stopping rule scales).
 
     ACCURACY CAVEAT: everything (applies, dots, preconditioner) runs in
     f32 with the recurrence-residual stopping rule, which can pass the
     tolerance while the TRUE residual stagnates or grows on severely
-    ill-conditioned systems.  Measured against the x64 oracle: the wave
-    family's GP'd cut mass solves are pinned digit-for-digit by the
-    TPU-executed goldens, but the composite-advection DoD p=5 GP'd mass
-    DIVERGES here (junk at 1e-3 of trajectory scale by t=0.1) and is
-    routed through the Schwarz-preconditioned streamed CG instead
-    (gdm/problems/advection.py::_mass_solver).  Validate any new
-    consumer against an x64 trajectory before trusting this path.
+    ill-conditioned systems (measured on the composite-advection DoD
+    p=5 GP'd cut mass: junk at 1e-3 of trajectory scale by t=0.1
+    against the x64 oracle).  The stats output exists exactly so
+    callers never have to trust the recurrence: the extra band apply is
+    the same exact-f32 tap arithmetic as the solve itself (no bf16),
+    costs one apply (~n_planes VPU passes, noise vs the solve), and
+    gdm.cut.fsai.verified_fsai_solver turns it into an automatic
+    detect-and-fallback around every consumer.  Reference role: deal.II
+    SolverControl's convergence enforcement inside problem.h:471-502.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -121,7 +132,7 @@ def make_resident_cg(stA, stG=None, stGT=None, max_iter: int = 50,
 
     with_pre = len(ops) == 3
 
-    def kernel(b_ref, x0_ref, plA_ref, plG_ref, plGT_ref, x_out):
+    def kernel(b_ref, x0_ref, plA_ref, plG_ref, plGT_ref, x_out, st_out):
         b = b_ref[:]
         x = x0_ref[:]
         A = lambda v: band_apply(plA_ref[:], tapsA, v)
@@ -159,8 +170,20 @@ def make_resident_cg(stA, stG=None, stGT=None, max_iter: int = 50,
             return (i + 1, x, r_, z, p, rz_new, nr)
 
         state = (jnp.int32(0), x, r_, z, z, rz, nr0)
-        _, x, r_, z, p, rz, nr = jax.lax.while_loop(cond, body, state)
+        it, x, r_, z, p, rz, nr = jax.lax.while_loop(cond, body, state)
         x_out[:] = x
+        # self-verification record: one FRESH band apply (exact f32 tap
+        # arithmetic, same planes as the solve) gives the TRUE residual
+        # the recurrence may have drifted from
+        rt = b - A(x)
+        nr_true = jnp.sqrt(jnp.sum(rt * rt))
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        first = row == 0
+        st_out[:] = (
+            jnp.where(first & (col == 0), nr_true.astype(jnp.float32), 0.0)
+            + jnp.where(first & (col == 1), it.astype(jnp.float32), 0.0)
+            + jnp.where(first & (col == 2), nr0.astype(jnp.float32), 0.0))
 
     if not with_pre:
         # keep the kernel signature uniform with dummy 1-plane factors
@@ -173,11 +196,13 @@ def make_resident_cg(stA, stG=None, stGT=None, max_iter: int = 50,
     flops_apply = 2 * n_planes * Rp * W2
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((R_ext, W2), dtype),
+        out_shape=(jax.ShapeDtypeStruct((R_ext, W2), dtype),
+                   jax.ShapeDtypeStruct((8, 128), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
         cost_estimate=pl.CostEstimate(
-            flops=flops_apply * (max_iter + 1),
+            flops=flops_apply * (max_iter + 2),
             bytes_accessed=(n_planes + 3) * esize * Rp * W2,
             transcendentals=0,
         ),
@@ -190,7 +215,8 @@ def make_resident_cg(stA, stG=None, stGT=None, max_iter: int = 50,
     def solve_padded(b_pad, x0_pad=None):
         if x0_pad is None:
             x0_pad = jnp.zeros((R_ext, W2), dtype)
-        return call(b_pad, x0_pad, plA_in, plG_in, plGT_in)
+        x_pad, stats = call(b_pad, x0_pad, plA_in, plG_in, plGT_in)
+        return x_pad, stats
 
     def pad(u):
         out = jnp.zeros((R_ext, W2), dtype)

@@ -190,6 +190,9 @@ class AdvectionProblem:
         else:
             self.op_out = self.adv_out = None
         self.rows = {0: [], 1: []}
+        # measured routing decisions of the verified mass solvers
+        # (per-domain path + probe evidence), for rows/artifacts
+        self._solver_meta = []
 
     def interpolate_exact(self, t):
         mesh = self.grid.node_coords_mesh()
@@ -225,23 +228,48 @@ class AdvectionProblem:
 
             return solve
 
+        import os
+
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = None
+        if (op.grid.dim == 2 and platform in ("tpu", "axon")
+                and os.environ.get("GDM_DISABLE_PALLAS") != "1"):
+            # TPU: probe-routed, TRUE-residual-verified VMEM-resident
+            # FSAI-CG with automatic streamed-Schwarz fallback
+            # (gdm/cut/fsai.py).  Round 4 found the f32 resident solve's
+            # recurrence residual passing 1e-6 while the true residual
+            # grows on the DoD composite's p=5 GP'd cut mass (junk at
+            # 1e-3 of trajectory scale by t=0.1 against the x64 oracle)
+            # and hand-routed this family to Schwarz streamed CG; the
+            # verified dispatch replaces that hand routing with a
+            # setup-time probe plus a per-solve exact-f32 residual check
+            # inside the kernel — bad systems fall back automatically,
+            # healthy ones keep the one-launch path.
+            from ..cut.fsai import verified_fsai_solver
+
+            vs = verified_fsai_solver(
+                st, windows=op.w_cut,
+                max_iter=pp.solver_max_iterations,
+                rel_tol=pp.solver_rel_tolerance,
+                abs_tol=pp.solver_abs_tolerance,
+            )
+            self._solver_meta.append(
+                {"loc": "inside" if op is self.op_in else "outside",
+                 "path": vs.path, "probe": vs.probe})
+            return vs
+
         if op.grid.n_nodes * K**op.grid.dim <= 3e7:
             from ..cut.fastapply import fast_stencil_apply
 
-            # TPU: split separable + correction apply (Pallas); the
+            # split separable + correction apply where available; the
             # stencil-band sweep elsewhere
             apply_fn = fast_stencil_apply(st, op, "mass") or st.apply
         else:
             apply_fn = lambda v: op.mass_apply(v, gm)
         # cut-window Schwarz-preconditioned CG (the reference's ILU
-        # role, parameters.h:32).  NOT the resident FSAI-CG: on the DoD
-        # composite's p=5 GP'd cut mass the f32 resident FSAI solve is
-        # unstable (its recurrence residual passes 1e-6 while the true
-        # residual grows — measured junk at 1e-3 of trajectory scale by
-        # t=0.1 and NaN by t=0.2 with the iteration cap removed, against
-        # the x64 oracle 1.6e-6; the Schwarz path reproduces the x64
-        # trajectory).  The wave family keeps the resident path, where
-        # the TPU-executed goldens pin it digit-for-digit.
+        # role, parameters.h:32)
         pre = schwarz_jacobi_preconditioner(st, op.w_cut)
 
         def solve(b):

@@ -75,6 +75,11 @@ class WaveParams:
     # --align is covered by gdm.tools.eigen.
     mapping_q_cache_function: Optional[Callable] = None
     mapping_geometry: str = "q1"
+    # print a reference-style " [L] solved in N" line per solve sample
+    # (problem.h:492) and record (counter, iterations, fallback,
+    # fallback_iterations) in WaveProblem.solver_rows.  Default off so
+    # golden-output parsing is untouched.
+    print_solver_info: bool = False
     dim: int = 1
 
 
@@ -193,6 +198,11 @@ class WaveProblem:
         self.verbose = verbose
         self.mesh = mesh
         self.rows = {0: [], 1: []}  # postprocess rows per location slot
+        # (counter, iterations, fallback, fallback_iterations) per slot,
+        # populated when params.print_solver_info (reference " [L]
+        # solved in N" lines, problem.h:492)
+        self.solver_rows = {0: [], 1: []}
+        self._solver_sample = {}  # slot -> jitted info sampler
         dim = params.dim
         self.grid = Grid(
             params.fe_degree,
@@ -252,58 +262,26 @@ class WaveProblem:
             # (guard zeros are inert in the dot products), one pallas
             # launch per iteration
             from ..cut.fastapply import fast_stencil_bundle
-            from ..cut.stencil import schwarz_band
 
             st = assemble_stencil(op, "mass", gm)
             bundle = fast_stencil_bundle(st)
             if bundle is not None:
-                apply_padded, pad, unpad = bundle
-                # first choice: the whole FSAI-preconditioned CG as ONE
-                # VMEM-resident pallas launch (~130 us at 128^2 vs ~2 ms
-                # for per-iteration streamed applies)
-                try:
-                    from ..cut.fsai import fsai_factors
-                    from ..ops.pallas_resident import make_resident_cg
+                # the whole FSAI-preconditioned CG as ONE VMEM-resident
+                # pallas launch (~130 us at 128^2 vs ~2 ms for
+                # per-iteration streamed applies), probe-routed and
+                # TRUE-residual-verified per solve with automatic
+                # streamed-Schwarz-CG fallback (gdm/cut/fsai.py —
+                # defense against the round-4 silent-wrong-answer class)
+                from ..cut.fsai import verified_fsai_solver
 
-                    G, GT = fsai_factors(st)
-                    res = make_resident_cg(
-                        st, G, GT,
-                        max_iter=pp.solver_max_iterations,
-                        rel_tol=max(pp.solver_rel_tolerance, 1e-6),
-                        abs_tol=max(pp.solver_abs_tolerance, 1e-12),
-                    )
-                except Exception:
-                    res = None
-                if res is not None:
-                    solve_r, pad_r, unpad_r, _ = res
-
-                    def solve(b):
-                        return unpad_r(solve_r(pad_r(b))).reshape(-1)
-
-                    return solve
-
-                # fallback: streamed-kernel CG; cut-window Schwarz in
-                # band form (point-Jacobi CG stalls at the f32 floor on
-                # the GP'd cut mass's sliver modes: 100 iters, rel
-                # 1.5e-2 at 128^2 f32)
-                bpre = fast_stencil_bundle(schwarz_band(st, op.w_cut))
-                if bpre is not None:
-                    pre_pad = bpre[0]
-                else:
-                    dpad = pad(diag)
-                    pre_pad = solvers.jacobi_preconditioner(
-                        jnp.where(dpad == 0.0, 1.0, dpad))
-
-                def solve(b):
-                    x, info = solvers.cg(
-                        apply_padded, pad(b), precond=pre_pad,
-                        max_iter=pp.solver_max_iterations,
-                        abs_tol=pp.solver_abs_tolerance,
-                        rel_tol=pp.solver_rel_tolerance,
-                    )
-                    return unpad(x)
-
-                return solve
+                vs = verified_fsai_solver(
+                    st, windows=op.w_cut,
+                    max_iter=pp.solver_max_iterations,
+                    rel_tol=pp.solver_rel_tolerance,
+                    abs_tol=pp.solver_abs_tolerance,
+                )
+                self._register_solver_sample(op, vs, gm)
+                return vs
 
         if self.mesh is not None:
             apply_fn = self._maybe_shard(assemble_stencil(op, "mass", gm))
@@ -322,6 +300,28 @@ class WaveProblem:
 
         return solve
 
+    def _register_solver_sample(self, op, vs, gm):
+        """Per-output-row solver-health sample: solve M x = M u at the
+        row's state and record the verified solver's iteration count and
+        fallback flag (the RK mass solves run inside jitted stages, so
+        the per-row sample is the observable '[L] solved in N' stand-in;
+        heat-impl records its ACTUAL per-step solves instead)."""
+        slot = 0 if op is self.op_in else 1
+
+        def sample(u, gm=gm, op=op, vs=vs):
+            return vs.solve_with_info(op.mass_apply(u, gm))[1]
+
+        self._solver_sample[slot] = jax.jit(sample)
+
+    def _record_solver_info(self, slot, counter, info):
+        it = int(info["iterations"])
+        fb = bool(info["fallback"])
+        itf = int(info["fallback_iterations"])
+        self.solver_rows[slot].append((counter, it, fb, itf))
+        if self.verbose:
+            print(" [L] solved in %d%s"
+                  % (itf if fb else it, " (fallback)" if fb else ""))
+
     def postprocess(self, t, u, location=INSIDE):
         op = self.op_in if location == INSIDE else self.op_out
         slot = 0 if location == INSIDE else 1
@@ -336,6 +336,9 @@ class WaveProblem:
         self.rows[slot].append((counter, t, l2, l1, linf))
         if self.verbose:
             print("%5d %8.5f %14.8e %14.8e %14.8e" % (counter, t, l2, l1, linf))
+        if self.params.print_solver_info and slot in self._solver_sample:
+            self._record_solver_info(
+                slot, counter, self._solver_sample[slot](u))
         if self.params.output_vtu_dir is not None:
             import os
 
@@ -598,7 +601,7 @@ class WaveProblem:
                     nitsche_gamma=gn,
                 )
                 b = dt * b + op.mass_apply(u, gm)
-                return solve(b)
+                return solve.solve_with_info(b)
 
             return step
 
@@ -610,8 +613,13 @@ class WaveProblem:
             t, dt = time.get_current_time(), time.get_next_step_size()
             if dt not in steps:
                 steps[dt] = make_step(dt)
-            u = steps[dt](t + dt, u)
+            u, sinfo = steps[dt](t + dt, u)
             self.postprocess(t + dt, u)
+            if pp.print_solver_info:
+                # heat-impl records its ACTUAL per-step implicit solve,
+                # exactly the reference's per-solve " [L] solved in N"
+                # (problem.h:492, heat_0.output)
+                self._record_solver_info(0, len(self.rows[0]) - 1, sinfo)
             time.advance_time()
         self.final_solution = u
 

@@ -82,7 +82,19 @@ def test_resident_cg_interpret_parity():
     solve_p, pad, unpad, _ = res
     b = np.random.default_rng(0).standard_normal(
         st.grid.n_nodes).astype(np.float32)
-    x_res = np.asarray(unpad(solve_p(pad(jnp.asarray(b))))).reshape(-1)
+    x_pad, stats = solve_p(pad(jnp.asarray(b)))
+    x_res = np.asarray(unpad(x_pad)).reshape(-1)
+    # the stats tile carries the TRUE residual (fresh in-kernel apply),
+    # the iteration count, and ||r0||
+    # in-kernel f32 apply vs the x64 oracle apply: near-converged
+    # residuals are heavy-cancellation sums, so only magnitude agreement
+    # is meaningful (the verification compares against tol*slack)
+    r_true = np.asarray(st.apply(jnp.asarray(x_res, jnp.float64))) - b
+    np.testing.assert_allclose(float(stats[0, 0]),
+                               np.linalg.norm(r_true), rtol=0.15, atol=1e-6)
+    assert 0 < int(stats[0, 1]) <= 40
+    np.testing.assert_allclose(float(stats[0, 2]), np.linalg.norm(b),
+                               rtol=1e-5)
 
     def B(r):
         return GT.apply(G.apply(r))
@@ -110,7 +122,7 @@ def test_resident_cg_unpreconditioned():
     solve_p, pad, unpad, _ = res
     b = np.random.default_rng(2).standard_normal(
         st.grid.n_nodes).astype(np.float32)
-    x_res = np.asarray(unpad(solve_p(pad(jnp.asarray(b))))).reshape(-1)
+    x_res = np.asarray(unpad(solve_p(pad(jnp.asarray(b)))[0])).reshape(-1)
     r = np.asarray(st.apply(jnp.asarray(x_res, jnp.float64))) - b
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-4
     x_ref, info = solvers.cg(
