@@ -91,6 +91,25 @@ def timed_chain(apply_fn, u, dt_hint=None, trials=4, target_s=0.25):
     return (min(t4s) - min(tKs)) / (3 * K)
 
 
+def _sharded_overhead():
+    """1-device sharding overhead of the shard_map+ppermute cut apply,
+    read from the committed real-TPU artifact (tests/data/
+    tpu_sharded.json, produced by scripts/run_tpu_sharded.py on the
+    chip) — measuring it here would add several hundred seconds of
+    shard_map compiles to every bench run for a number that only moves
+    when the dist code does."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "data", "tpu_sharded.json")
+    try:
+        with open(path) as f:
+            return json.load(f)["legs"]["cut_stencil_shard_map"][
+                "sharded_overhead_1dev"]
+    except Exception:
+        return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -251,6 +270,7 @@ def main():
             "mg_cg_rel_residual": mg_rel_res,
             "mg_cg_f32_floor_50it": mg_floor,
             "cut_wave_rk4_step_128_s": wave_step_s,
+            "sharded_overhead_1dev": _sharded_overhead(),
             "timing": "host-synced differential chain (see docstring)",
         },
     }))

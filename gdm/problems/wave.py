@@ -203,6 +203,9 @@ class WaveProblem:
         # solved in N" lines, problem.h:492)
         self.solver_rows = {0: [], 1: []}
         self._solver_sample = {}  # slot -> jitted info sampler
+        # measured routing decisions of the verified mass solvers
+        # (path + probe evidence), recorded for artifacts
+        self._solver_meta = []
         dim = params.dim
         self.grid = Grid(
             params.fe_degree,
@@ -281,6 +284,9 @@ class WaveProblem:
                     abs_tol=pp.solver_abs_tolerance,
                 )
                 self._register_solver_sample(op, vs, gm)
+                self._solver_meta.append(
+                    {"loc": "inside" if op is self.op_in else "outside",
+                     "path": vs.path, "probe": vs.probe})
                 return vs
 
         if self.mesh is not None:
