@@ -83,6 +83,19 @@ def _tap_table(window, grid, radius):
     return off
 
 
+def _window_in_band(window, grid, radius):
+    """True iff every per-axis coordinate offset within this window lies
+    in [-radius, radius] — the precondition for the shared-tap-table
+    fast path (flat relative indices are only unambiguous then).  All
+    current callers pass axis-aligned (p+1)- or 2(p+1)-wide node blocks
+    that satisfy this; a future caller with odd windows falls back to
+    the general per-window path instead of scattering to wrong taps."""
+    coords = np.stack(np.unravel_index(np.asarray(window, np.int64),
+                                       grid.nodes), axis=0)  # (dim, m)
+    span = coords.max(axis=1) - coords.min(axis=1)
+    return bool((span <= radius).all())
+
+
 def _accumulate(band_flat, windows, mats, grid, radius):
     """band_flat: (n_nodes, K^dim); windows (n, m); mats (n, m, m).
 
@@ -97,7 +110,8 @@ def _accumulate(band_flat, windows, mats, grid, radius):
     K = 2 * radius + 1
     n, m = windows.shape
     rel = windows - windows[:, :1]
-    if n and (rel == rel[0]).all():
+    if n and (rel == rel[0]).all() and _window_in_band(windows[0], grid,
+                                                       radius):
         off = _tap_table(windows[0], grid, radius)        # (m, m)
         idx = (windows[:, :, None].astype(np.int64) * band_flat.shape[1]
                + off[None, :, :])
@@ -115,7 +129,11 @@ def _accumulate(band_flat, windows, mats, grid, radius):
             cj = rem_j // strides[d]
             rem_i = rem_i % strides[d]
             rem_j = rem_j % strides[d]
-            off_flat = off_flat * K + (cj - ci + radius)
+            delta = cj - ci
+            assert (np.abs(delta) <= radius).all(), (
+                "window pair offset exceeds the band radius — the "
+                "accumulated entry has no band slot")
+            off_flat = off_flat * K + (delta + radius)
         idx = wi * band_flat.shape[1] + off_flat
     band_flat += np.bincount(
         idx.reshape(-1), weights=np.asarray(mats, np.float64).reshape(-1),

@@ -60,7 +60,11 @@ def gd_prolong_axis(u, axis, table, offsets, n_fine_nodes):
     um = jnp.moveaxis(u, axis, 0)
     nc = um.shape[0]
     n_cells = nc - 1
-    assert n_fine_nodes == 2 * nc - 1
+    if n_fine_nodes != 2 * nc - 1:
+        raise ValueError(
+            f"gd_prolong_axis: n_fine_nodes={n_fine_nodes} must equal "
+            f"2*n_coarse_nodes - 1 = {2 * nc - 1} (uniform 2:1 nested "
+            f"refinement)")
     Tb, lo = _realigned_band(table, offsets)
     width = Tb.shape[1]
     hi = lo + width - 1

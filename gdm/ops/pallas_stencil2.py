@@ -454,6 +454,11 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
             V = jnp.zeros((T_ext, W2), dtype)
             W = jnp.zeros((T_ext, W2), dtype)
             acc = None
+            # the three staggered issues below assume at least three roll
+            # iterations; every supported odd p has K = 2p+1 >= 3, but a
+            # forced interleave on a hypothetical K < 3 configuration
+            # would silently drop the bh@lo / bl@hi dots
+            assert K >= 3
             third = max(1, (K + 2) // 3)  # issue at l = 0, third, 2*third
             for l in range(K):
                 if l == 0:

@@ -39,7 +39,7 @@ REF = "/root/reference/applications/wave/tests"
 # flavor does not (CPU-f32 rehearsal was 5.0e-4 / 7.2e-3 / 1.5e-3 /
 # 1.2e-3 / 1.0e-2)
 TOL = {
-    "heat_1": 3e-3,
+    "heat_1": 4e-3,  # measured 1.92e-3; ~2x margin like the other rows
     "wave_0": 2.5e-2,
     "wave_1": 5e-3,
     "heat_composite_0": 6e-3,
