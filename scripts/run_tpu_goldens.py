@@ -65,7 +65,13 @@ def _clamp_f32_tols(params):
     return params
 
 
-def extra_cases(artifact):
+def _dump(artifact, out_path):
+    # incremental checkpoint: a crash in a later case keeps earlier rows
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+
+
+def extra_cases(artifact, out_path):
     """Round-5 extensions: the remaining physics families executed on
     the chip (VERDICT r4 'missing #2'), with oracles from the reference
     golden (advection) or the committed CPU-x64 rows
@@ -105,6 +111,7 @@ def extra_cases(artifact):
     }
     print(f"adv_conv: dev vs golden {dev:.3e}, vs cpu-x64 {dev_cpu:.3e}",
           flush=True)
+    _dump(artifact, out_path)
 
     # --- deformed-cut heat (the multichip-gate config, 1 chip) ---------
     from gdm.problems.wave import WaveProblem
@@ -129,6 +136,7 @@ def extra_cases(artifact):
         }
         print(f"{key}: {len(rows)} rows, scaled dev vs cpu-x64 "
               f"{scaled:.3e}, {time.time()-t0:.1f}s", flush=True)
+        _dump(artifact, out_path)
 
 
 def kernel_separation(artifact):
@@ -248,12 +256,12 @@ def main():
         print(f"{key}: {sum(len(r) for r in slot_rows)} rows, "
               f"max rel dev {dev:.3e}, scaled {scaled:.3e}, {wall:.1f}s",
               flush=True)
+        _dump(artifact, out_path)
 
-    extra_cases(artifact)
+    extra_cases(artifact, out_path)
     kernel_separation(artifact)
 
-    with open(out_path, "w") as f:
-        json.dump(artifact, f, indent=1)
+    _dump(artifact, out_path)
     print(f"wrote {out_path}")
 
 
