@@ -605,6 +605,236 @@ def make_padded_laplace2(grid: Grid, dtype=jnp.float32, tile_r: int = 256,
     return apply_padded, pad, unpad, (R_ext, W2)
 
 
+def make_padded_laplace2_stream(grid: Grid, dtype=jnp.float32,
+                                tile_r: int = 256, interpret: bool = False,
+                                bands=None):
+    """Auto-pipelined streaming variant of the 2D mxu3p kernel.
+
+    Same math as make_padded_laplace2(rows="mxu3p") — shared-roll column
+    stage + bf16x3 MXU row stage, software-pipelined one tile deep so
+    tile i-1's matmuls drain under tile i's rolls — but the HBM
+    streaming rides Pallas's AUTOMATIC grid pipeline (disjoint BlockSpec
+    tiles) instead of the manual make_async_copy double-buffer schedule:
+    benchmarks/stream_overlap_micro.py measured the manual schedule
+    capping at ~340 GB/s combined on v5e (regardless of buffer count,
+    chunk splitting, or separate per-slot buffers) while the auto
+    pipeline streams the same stencil-shaped traffic at ~670 GB/s with
+    near-perfect overlap of roll-only compute.
+
+    MEASURED RESULT (round 5, v5e, f32): the advantage does NOT survive
+    composition with the full mxu3p compute.  Best stream config
+    (tile_r=128) vs the production manual kernel (tile_r=96):
+    4096^2 43.0 vs 33.2 us/MDoF, 2048^2 40.0 vs 29.2, 1024^2 39.2 vs
+    25.4; larger stream tiles are strictly worse (83-132 us/MDoF at
+    tile_r=256-512, VMEM-pressure shaped).  The ~14 us/MDoF constant
+    overhead exceeds the ~8-10 us/MDoF of un-overlapped streaming it
+    was built to hide, so make_padded_laplace2(rows="mxu3p") remains
+    the production dispatch at every size and this kernel is committed
+    as measured-design-space evidence (the fifth falsified schedule for
+    the 4096^2 falloff; see BASELINE.md round-5 closure).  Numerics are
+    identical-class (parity vs the manual kernel at ~1e-7 relative in
+    f32, exact vs the XLA operator in f64 interpret tests).
+
+    Auto BlockSpec tiles must be disjoint, so the halo rows travel as a
+    separately gathered side input (n_tiles * 2H rows, ~6% extra read at
+    tile_r=256) and the padded layout is (Rp, W2) with NO guard rows:
+    data rows [0, N0), data lanes [p, p + N1).  The layout is closed
+    under the apply (band tables are zero on padding rows/lanes), so CG
+    runs entirely in it, same as the manual kernels' contract.
+
+    The grid is skewed one step (n_tiles + 1 iterations): step i stages
+    tile i's column splits and computes tile i-1's dots; the out
+    BlockSpec maps step i to block i-1 (step 0 writes zeros to block 0
+    and step 1 revisits it — consecutive revisits never flush the
+    garbage).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert grid.dim == 2
+    p = grid.degree
+    assert p <= 15
+    H = _round_up(p, 8)
+    N0, N1 = grid.nodes
+    tile_r = min(tile_r, _round_up(N0, 8))
+    Rp = _round_up(N0, tile_r)
+    W2 = _round_up(N1 + 2 * p, 128)
+    n_tiles = Rp // tile_r
+    K = 2 * p + 1
+    T_ext = tile_r + 2 * H
+    split_dt = jnp.float32 if dtype == jnp.float64 else jnp.bfloat16
+
+    if bands is None:
+        bands = (stiffness_1d(p, grid.cells[0], grid.h[0]).band,
+                 mass_1d(p, grid.cells[1], grid.h[1]).band,
+                 mass_1d(p, grid.cells[0], grid.h[0]).band,
+                 stiffness_1d(p, grid.cells[1], grid.h[1]).band)
+    A0b, A1b, B0b, B1b = bands
+
+    b0s = np.zeros((Rp, K))
+    b0m = np.zeros((Rp, K))
+    b0s[:N0] = A0b
+    b0m[:N0] = B0b
+    b1s = np.zeros((K, W2))
+    b1m = np.zeros((K, W2))
+    for l in range(K):
+        b1s[l, p : p + N1] = B1b[:, l]
+        b1m[l, p : p + N1] = A1b[:, l]
+
+    # dense per-tile row matrices, same window convention as mxu3p:
+    # vw row c of tile i <-> data row i*tile_r - H + c
+    Bcat = np.zeros((n_tiles, tile_r, 2 * T_ext))
+    for i in range(n_tiles):
+        for r in range(tile_r):
+            for k in range(K):
+                Bcat[i, r, H - p + k + r] = b0s[i * tile_r + r, k]
+                Bcat[i, r, T_ext + H - p + k + r] = b0m[i * tile_r + r, k]
+    Bflat = Bcat.reshape(n_tiles * tile_r, 2 * T_ext)
+    B_hi = Bflat.astype(dtype).astype(split_dt)
+    B_lo = (Bflat.astype(dtype) - np.asarray(B_hi, dtype)).astype(split_dt)
+    row_tables = [jnp.asarray(B_hi), jnp.asarray(B_lo)]
+    b1s = jnp.asarray(b1s, dtype)
+    b1m = jnp.asarray(b1m, dtype)
+
+    # halo gather indices: tile i's window rows outside its own block —
+    # top [i*tile_r - H, i*tile_r) then bottom [(i+1)*tile_r, +H);
+    # out-of-range rows (first top / last bottom) gather as zeros
+    hidx = np.empty((n_tiles, 2 * H), np.int32)
+    for i in range(n_tiles):
+        hidx[i, :H] = i * tile_r - H + np.arange(H)
+        hidx[i, H:] = (i + 1) * tile_r + np.arange(H)
+    hidx = jnp.asarray(hidx.reshape(-1))
+
+    dn = (((1,), (0,)), ((), ()))
+
+    def kernel(u_ref, halo_ref, bhi_ref, blo_ref, b1s_ref, b1m_ref, y_ref,
+               vwhi, vwlo):
+        i = pl.program_id(0)
+
+        def dots_for(prev_):
+            # tile i-1's three bf16 dots, issued as an up-front block
+            # BEFORE tile i's rolls so the MXU drains underneath them
+            rs = pl.multiple_of((i - 1) * tile_r, 8)
+            bh = bhi_ref[pl.ds(rs, tile_r), :]
+            bl = blo_ref[pl.ds(rs, tile_r), :]
+            hi = vwhi[prev_]
+            lo = vwlo[prev_]
+            acc = jax.lax.dot_general(bh, hi, dimension_numbers=dn,
+                                      preferred_element_type=dtype)
+            acc = acc + jax.lax.dot_general(bh, lo, dimension_numbers=dn,
+                                            preferred_element_type=dtype)
+            acc = acc + jax.lax.dot_general(bl, hi, dimension_numbers=dn,
+                                            preferred_element_type=dtype)
+            y_ref[...] = acc
+
+        def roll_vw(uw, n_rows):
+            V = jnp.zeros((n_rows, W2), dtype)
+            W = jnp.zeros((n_rows, W2), dtype)
+            for l in range(K):
+                shift = (p - l) % W2
+                r = uw if shift == 0 else pltpu.roll(uw, shift, axis=1)
+                V = V + b1m_ref[l : l + 1, :] * r
+                W = W + b1s_ref[l : l + 1, :] * r
+            return V, W
+
+        def stage_for(slot_):
+            # column stage for tile i: the main block's rows land at
+            # window offset H, the gathered halo rows at 0 and H+tile_r
+            V, W = roll_vw(u_ref[...], tile_r)
+            Vhi = V.astype(split_dt)
+            Whi = W.astype(split_dt)
+            vwhi[slot_, H : H + tile_r, :] = Vhi
+            vwhi[slot_, T_ext + H : T_ext + H + tile_r, :] = Whi
+            vwlo[slot_, H : H + tile_r, :] = (
+                V - Vhi.astype(dtype)).astype(split_dt)
+            vwlo[slot_, T_ext + H : T_ext + H + tile_r, :] = (
+                W - Whi.astype(dtype)).astype(split_dt)
+            Vh, Wh = roll_vw(halo_ref[...], 2 * H)
+            Vhh = Vh.astype(split_dt)
+            Whh = Wh.astype(split_dt)
+            Vhl = (Vh - Vhh.astype(dtype)).astype(split_dt)
+            Whl = (Wh - Whh.astype(dtype)).astype(split_dt)
+            for buf, top, bot in ((vwhi, Vhh[:H], Vhh[H:]),
+                                  (vwlo, Vhl[:H], Vhl[H:])):
+                buf[slot_, 0:H, :] = top
+                buf[slot_, H + tile_r : T_ext, :] = bot
+            for buf, top, bot in ((vwhi, Whh[:H], Whh[H:]),
+                                  (vwlo, Whl[:H], Whl[H:])):
+                buf[slot_, T_ext : T_ext + H, :] = top
+                buf[slot_, T_ext + H + tile_r : 2 * T_ext, :] = bot
+
+        # literal slot indices per parity branch (static_parity): the
+        # vwhi/vwlo read (prev) and write (slot) slices are statically
+        # disjoint, so no conservative WAR ordering between the
+        # in-flight dots and the split stores
+        @pl.when(jnp.logical_and(i > 0, i % 2 == 1))
+        def _():
+            dots_for(0)
+
+        @pl.when(jnp.logical_and(i > 0, i % 2 == 0))
+        def _():
+            dots_for(1)
+
+        @pl.when(i == 0)
+        def _():
+            # step 0's out block is revisited (and fully rewritten) by
+            # step 1 before any flush; zeros keep the buffer defined
+            y_ref[...] = jnp.zeros((tile_r, W2), dtype)
+
+        @pl.when(jnp.logical_and(i < n_tiles, i % 2 == 0))
+        def _():
+            stage_for(0)
+
+        @pl.when(jnp.logical_and(i < n_tiles, i % 2 == 1))
+        def _():
+            stage_for(1)
+
+    last = n_tiles - 1
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Rp, W2), dtype),
+        grid=(n_tiles + 1,),
+        in_specs=[
+            pl.BlockSpec((tile_r, W2),
+                         lambda i: (jnp.minimum(i, last), 0)),
+            pl.BlockSpec((2 * H, W2),
+                         lambda i: (jnp.minimum(i, last), 0)),
+            pl.BlockSpec((n_tiles * tile_r, 2 * T_ext), lambda i: (0, 0)),
+            pl.BlockSpec((n_tiles * tile_r, 2 * T_ext), lambda i: (0, 0)),
+            pl.BlockSpec((K, W2), lambda i: (0, 0)),
+            pl.BlockSpec((K, W2), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_r, W2),
+                               lambda i: (jnp.maximum(i - 1, 0), 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * T_ext, W2), split_dt),
+            pltpu.VMEM((2, 2 * T_ext, W2), split_dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * K * Rp * W2,
+            bytes_accessed=2 * 4 * Rp * W2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def apply_padded(u_pad):
+        halos = jnp.take(u_pad, hidx, axis=0, mode="fill", fill_value=0)
+        return call(u_pad, halos, *row_tables, b1s, b1m)
+
+    def pad(u):
+        out = jnp.zeros((Rp, W2), dtype)
+        return jax.lax.dynamic_update_slice(out, u.astype(dtype), (0, p))
+
+    def unpad(u_pad):
+        return u_pad[:N0, p : p + N1]
+
+    return apply_padded, pad, unpad, (Rp, W2)
+
+
 def make_padded_laplace3(grid: Grid, dtype=jnp.float32,
                          tile_planes: int = None, interpret: bool = False,
                          _stages: int = 3):

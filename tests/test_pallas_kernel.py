@@ -42,6 +42,45 @@ def test_matches_xla_operator(rows, p, cells, tile_r):
     np.testing.assert_allclose(y, y_ref, rtol=tol, atol=100 * tol)
 
 
+@pytest.mark.parametrize("p,cells,tile_r", [
+    (3, (40, 72), 64),    # multi-tile rows (skewed pipeline)
+    (3, (40, 72), 48),    # single tile (grid of 2 steps)
+    (5, (48, 40), 64),
+    (3, (300, 140), 64),  # many tiles, N0 not a tile multiple
+    (7, (32, 33), 64),
+])
+def test_stream_matches_xla_operator(p, cells, tile_r):
+    """The auto-BlockSpec-pipelined streaming kernel (gathered halo
+    side input, skewed out blocks) against the XLA separable operator."""
+    from gdm.ops.pallas_stencil2 import make_padded_laplace2_stream
+
+    grid = Grid(p, cells, (0.0, 0.0), (1.0, 2.0))
+    f = laplace_apply_fn(grid, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal(grid.nodes)
+    y_ref = np.asarray(f(jnp.asarray(u)))
+    ap, pad, unpad, shape = make_padded_laplace2_stream(
+        grid, jnp.float64, tile_r=tile_r, interpret=True)
+    y = np.asarray(unpad(ap(pad(jnp.asarray(u)))))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-12, atol=2e-10)
+
+
+def test_stream_padded_layout_closed_under_apply():
+    """CG can run entirely in the stream kernel's (Rp, W2) layout: the
+    apply keeps padding rows/lanes zero."""
+    from gdm.ops.pallas_stencil2 import make_padded_laplace2_stream
+
+    grid = Grid(3, (40, 72), (0.0, 0.0), (1.0, 2.0))
+    ap, pad, unpad, shape = make_padded_laplace2_stream(
+        grid, jnp.float64, tile_r=32, interpret=True)
+    rng = np.random.default_rng(4)
+    up = pad(jnp.asarray(rng.standard_normal(grid.nodes)))
+    yp = np.asarray(ap(ap(up)))
+    mask = np.ones(shape, bool)
+    mask[: grid.nodes[0], 3 : 3 + grid.nodes[1]] = False
+    assert np.all(yp[mask] == 0.0)
+
+
 @pytest.mark.parametrize("p,cells,kw", [
     (3, (40, 72), {}),
     (5, (48, 40), {}),
