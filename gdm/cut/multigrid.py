@@ -120,11 +120,13 @@ def _lambda_max_lanczos(A, s_apply, n_iter: int = 25, seed: int = 0):
     take the largest eigenvalue of T with T[k,k] = 1/alpha_k +
     beta_{k-1}/alpha_{k-1}, T[k,k+1] = sqrt(beta_k)/alpha_k.  Converges
     to the extreme eigenvalue in O(sqrt(kappa)) iterations where plain
-    power iteration needs O(lambda_1/(lambda_1 - lambda_2)) — the
-    fixed-30-step power iteration measurably under-estimated fine-level
-    lambda_max (the identified cause of the 8 -> 12 cut-MG CG growth
-    across 128^2 -> 512^2), which puts true top modes ABOVE the
-    Chebyshev interval where the polynomial amplifies them."""
+    power iteration needs O(lambda_1/(lambda_1 - lambda_2)).
+
+    NOT the default: the round-5 hypothesis that power-iteration slack
+    caused the mild cut-MG iteration growth was falsified by
+    measurement — see the estimator comment in CutMultigrid.__init__
+    (44 vs 26 iters at 256^2 step85 with identical fine-level
+    estimates).  Reachable via CutMultigrid(estimator="lanczos")."""
     from scipy.linalg import eigh_tridiagonal
 
     rng = np.random.default_rng(seed)
@@ -203,7 +205,8 @@ class CutMultigrid:
     def __init__(self, st: StencilOperator, level_set_function,
                  level_set_degree: int = None, coarsest: int = 16,
                  n_smooth: int = 2, smoother: str = "chebyshev",
-                 cheb_degree: int = 4, cheb_range: float = 20.0):
+                 cheb_degree: int = 4, cheb_range: float = 20.0,
+                 estimator: str = "power"):
         grid = st.grid
         deg = (level_set_degree if level_set_degree is not None
                else grid.degree)
@@ -211,6 +214,7 @@ class CutMultigrid:
         self.smoother = smoother
         self.cheb_degree = cheb_degree
         self.cheb_range = cheb_range
+        self.estimator = estimator
         A = _band_to_sparse(st)
         self.levels = []
         g = grid
@@ -245,10 +249,19 @@ class CutMultigrid:
                     np.add.at(z, win.reshape(-1), zl.reshape(-1))
                 return z
 
-            # lambda_max(S A): CG-Lanczos estimate (converges to the
-            # extreme eigenvalue where the old fixed-30-step power
-            # iteration under-estimated it at fine levels), guarded by
-            # the power iterate — take the max of both
+            # lambda_max(S A) by 30-step power iteration.  Round 5
+            # TRIED replacing this with max(power, CG-Lanczos) on the
+            # theory that power-iteration slack caused the mild 8->12
+            # iteration growth across 128^2->512^2; measurement
+            # FALSIFIED it: at 256^2 step85 deg=4 rng=20 the Lanczos
+            # variant needs 44 CG iterations vs 26 power-only, and at
+            # 512^2 20 vs the committed 12 — even though both give the
+            # SAME fine-level estimate (8.061 at 256^2; only coarse-
+            # level estimates shift by ~1%).  The sweep response is a
+            # knife edge in the coarse-level Chebyshev intervals, not
+            # top-mode amplification; the measured-better power
+            # estimator stays the default (estimator="lanczos" keeps
+            # the falsified variant reachable for study).
             rng = np.random.default_rng(0)
             v = rng.standard_normal(g.n_nodes)
             lam_p = 1.0
@@ -256,7 +269,9 @@ class CutMultigrid:
                 z = s_apply(A @ v)
                 lam_p = np.linalg.norm(z)
                 v = z / lam_p
-            lam = max(lam_p, _lambda_max_lanczos(A, s_apply))
+            lam = lam_p
+            if self.estimator == "lanczos":
+                lam = max(lam_p, _lambda_max_lanczos(A, s_apply))
             lvl["omega"] = 1.0 / (1.15 * lam)
             lvl["lmax"] = lam
             self.levels.append(lvl)

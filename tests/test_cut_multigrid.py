@@ -113,10 +113,16 @@ def test_step85_mg_iterations_flat_512():
         mg = cut_poisson_multigrid(op, GA, GN, LS, level_set_degree=3)
         it, x = _solve_iters(st.apply, b, jax.jit(mg.precondition))
         iters[n] = it
-    # measured 8 at 128^2 and 12 at 512^2 with Chebyshev(4): the
-    # VERDICT done-criterion (<= 12 flat); the mild growth is the
-    # power-iteration lambda_max estimate tightening a touch slower
-    # than the mesh refines
+    # measured 8 at 128^2 and 12 at 512^2 with Chebyshev(4) and the
+    # power-iteration lambda_max (the default).  Round 5 measured the
+    # neighborhood: a CG-Lanczos lambda_max (max'd with power) gives
+    # [6, 8, 44, 20] and power-only [6, 8, 26, 12-class] at deg=4
+    # rng=20 — the hypothesis that estimator slack caused the growth
+    # is FALSIFIED (both agree on the fine-level estimate, 8.061 at
+    # 256^2), and 256^2 sits on a knife edge in the coarse-level
+    # Chebyshev intervals (deg=5: 21; rng=30: 27) that the assertions
+    # below deliberately do not pin.  See gdm/cut/multigrid.py
+    # (estimator comment) and BASELINE.md round-5 cut-MG note.
     assert iters[512] <= iters[128] + 4, iters
     assert iters[512] <= 12, iters
 
